@@ -1,0 +1,202 @@
+"""GraphEm Rapids TPU: a TPU-native graph embedding framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the graphem-rapids capability set
+(force-directed graph layout whose radial coordinate proxies node centrality,
+plus influence maximization): one jitted engine with kernel-strategy
+selection instead of the reference's per-library backends, Pallas tiled kNN
+instead of PyKeOps/cuVS, deterministic segment-sum scatter instead of CUDA
+atomics, and multi-chip scaling via jax.sharding meshes (new capability).
+
+Public surface mirrors the reference package root
+(graphem_rapids/__init__.py): ``create_graphem`` factory, generators,
+influence, visualization, datasets, benchmarks.
+"""
+
+import os
+
+from .benchmark import (
+    benchmark_correlations,
+    run_benchmark,
+    run_influence_benchmark,
+)
+from .datasets import (
+    list_available_datasets,
+    load_dataset,
+    load_dataset_as_adjacency,
+    load_dataset_as_networkx,
+)
+from .generators import (
+    compute_vertex_degrees,
+    erdos_renyi_graph,
+    generate_ba,
+    generate_balanced_tree,
+    generate_bipartite_graph,
+    generate_caveman,
+    generate_geometric,
+    generate_power_cluster,
+    generate_random_regular,
+    generate_relaxed_caveman,
+    generate_road_network,
+    generate_sbm,
+    generate_scale_free,
+    generate_ws,
+)
+from .influence import (
+    estimated_influence,
+    graphem_seed_selection,
+    greedy_seed_selection,
+    ndlib_estimated_influence,
+)
+from .models.embedder import GraphEmbedderTPU
+from .utils.backend_selection import (
+    BackendConfig,
+    check_tpu_availability,
+    get_default_config,
+    get_optimal_backend,
+)
+from .visualization import (
+    display_benchmark_results,
+    plot_radial_vs_centrality,
+    report_corr,
+    report_full_correlation_matrix,
+)
+
+__version__ = "0.1.0"
+
+
+def create_graphem(adjacency, n_components=2, backend=None, mesh=None,
+                   **kwargs):
+    """Create a graph embedder with automatic strategy selection.
+
+    The factory keeps the reference's entry-point shape
+    (graphem_rapids/__init__.py:78-136) but selects a kernel strategy and
+    device tier on the single TPU engine instead of choosing among external
+    libraries. Environment variables (GRAPHEM_BACKEND, GRAPHEM_PREFER_TPU,
+    GRAPHEM_MEMORY_LIMIT, GRAPHEM_VERBOSE) are honored.
+
+    Parameters
+    ----------
+    adjacency : array-like or scipy.sparse matrix
+        Square adjacency matrix.
+    n_components : int, default=2
+        Embedding dimensionality.
+    backend : str, optional
+        Force a strategy: 'auto' | 'exact' | 'chunked' | 'approx' |
+        'pallas' | 'sharded' (legacy aliases 'pytorch', 'cuvs', 'cpu'
+        accepted).
+    mesh : jax.sharding.Mesh, optional
+        Device mesh for the 'sharded' strategy; defaults to all local
+        devices when sharding is selected.
+    **kwargs
+        Forwarded to the embedder constructor.
+
+    Returns
+    -------
+    GraphEmbedderTPU (or ShardedGraphEmbedder for the multi-chip tier).
+    """
+    n_vertices = adjacency.shape[0]
+    config = get_default_config(n_vertices, n_components)
+    if backend is not None:
+        config.force_backend = backend
+        config.__post_init__()
+
+    strategy = get_optimal_backend(config)
+
+    if strategy == "sharded":
+        from .parallel.sharded_embedder import ShardedGraphEmbedder
+
+        return ShardedGraphEmbedder(
+            adjacency, n_components=n_components, mesh=mesh, **kwargs
+        )
+    if strategy == "chunked" and "device" not in kwargs and not check_tpu_availability():
+        kwargs["device"] = "cpu"
+    return GraphEmbedderTPU(
+        adjacency, n_components=n_components, knn_strategy=strategy, **kwargs
+    )
+
+
+def get_backend_info():
+    """Hardware/strategy availability report
+    (reference graphem_rapids/__init__.py:139-169)."""
+    import jax
+
+    devices = jax.devices()
+    platforms = sorted({d.platform for d in devices})
+    tpu = [d for d in devices if d.platform == "tpu"]
+    info = {
+        "jax_version": jax.__version__,
+        "platforms": platforms,
+        "tpu_available": bool(tpu),
+        "tpu_device_count": len(tpu),
+        "tpu_device_kind": tpu[0].device_kind if tpu else None,
+        "device_count": len(devices),
+        "pallas_available": True,
+        "recommended_backend": "pallas" if tpu else "chunked",
+    }
+    return info
+
+
+__all__ = [
+    # Factory + engine
+    "create_graphem",
+    "GraphEmbedderTPU",
+    # Graph generators
+    "erdos_renyi_graph",
+    "generate_sbm",
+    "generate_ba",
+    "generate_ws",
+    "generate_caveman",
+    "generate_geometric",
+    "generate_scale_free",
+    "generate_road_network",
+    "generate_balanced_tree",
+    "generate_power_cluster",
+    "generate_random_regular",
+    "generate_bipartite_graph",
+    "generate_relaxed_caveman",
+    "compute_vertex_degrees",
+    # Influence maximization
+    "graphem_seed_selection",
+    "ndlib_estimated_influence",
+    "estimated_influence",
+    "greedy_seed_selection",
+    # Visualization
+    "report_corr",
+    "report_full_correlation_matrix",
+    "plot_radial_vs_centrality",
+    "display_benchmark_results",
+    # Datasets
+    "load_dataset",
+    "load_dataset_as_networkx",
+    "load_dataset_as_adjacency",
+    "list_available_datasets",
+    # Utilities
+    "get_backend_info",
+    "BackendConfig",
+    "get_optimal_backend",
+    "check_tpu_availability",
+    # Benchmarks
+    "run_benchmark",
+    "benchmark_correlations",
+    "run_influence_benchmark",
+]
+
+
+def _show_backend_info():  # pragma: no cover - cosmetic
+    info = get_backend_info()
+    status = [f"JAX {info['jax_version']}"]
+    if info["tpu_available"]:
+        status.append(
+            f"TPU ✓ ({info['tpu_device_count']}x {info['tpu_device_kind']})"
+        )
+    else:
+        status.append(f"TPU ✗ ({'/'.join(info['platforms'])})")
+    print(f"GraphEm Rapids TPU v{__version__} - {' | '.join(status)}")
+    print(f"Recommended strategy: {info['recommended_backend'].upper()}")
+
+
+if os.environ.get("GRAPHEM_RAPIDS_QUIET", "false").lower() != "true":
+    try:
+        _show_backend_info()
+    except Exception:  # pragma: no cover
+        pass

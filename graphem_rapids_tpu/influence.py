@@ -1,0 +1,158 @@
+"""Influence maximization (reference graphem_rapids/influence.py).
+
+Seed selection by embedding radius, plus Independent-Cascade influence
+scoring. The reference scores with NDlib's pure-Python Monte-Carlo
+simulator; here the primary engine is the vectorized JAX IC simulator
+(ops/ic_sim.py) so greedy selection evaluates ALL candidate nodes of a round
+in one batched device call. NDlib is used transparently for parity when it
+is installed (SURVEY.md §2.3).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.ic_sim import _ic_run, independent_cascade
+
+try:  # optional parity dependency
+    import ndlib.models.ModelConfig as _mc
+    import ndlib.models.epidemics as _ep
+
+    _NDLIB_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    _NDLIB_AVAILABLE = False
+
+
+def _as_edges_and_n(G):
+    """Accept a networkx graph, scipy adjacency, or (edges, n) tuple."""
+    import networkx as nx
+    import scipy.sparse as sp
+
+    if isinstance(G, nx.Graph):
+        n = G.number_of_nodes()
+        edges = np.asarray(list(G.edges()), np.int64).reshape(-1, 2)
+        return edges, n
+    if sp.issparse(G):
+        rows, cols = G.nonzero()
+        mask = rows < cols
+        return np.column_stack([rows[mask], cols[mask]]), G.shape[0]
+    edges, n = G
+    return np.asarray(edges), n
+
+
+def graphem_seed_selection(embedder, k, num_iterations=20):
+    """Run the layout, then pick the k nodes with the largest radial
+    distance from the origin (reference influence.py:10-37)."""
+    embedder.run_layout(num_iterations=num_iterations)
+    positions = np.asarray(embedder.positions)
+    radial_distances = np.linalg.norm(positions, axis=1)
+    seeds = np.argsort(-radial_distances)[:k]
+    return seeds.tolist()
+
+
+def ndlib_estimated_influence(G, seeds, p=0.1, iterations_count=200):
+    """IC influence estimate with the reference's NDlib semantics
+    (influence.py:40-84): returns (influenced_count, iterations).
+
+    Uses NDlib when installed; otherwise falls back to the JAX simulator
+    (single stochastic run to match NDlib's one-trajectory behavior).
+    """
+    if _NDLIB_AVAILABLE:
+        import networkx as nx
+
+        if not isinstance(G, nx.Graph):
+            edges, n = _as_edges_and_n(G)
+            H = nx.Graph()
+            H.add_nodes_from(range(n))
+            H.add_edges_from(edges)
+            G = H
+        model = _ep.IndependentCascadesModel(G)
+        config = _mc.Configuration()
+        for e in G.edges():
+            config.add_edge_configuration("threshold", e, p)
+        model.set_initial_status(config)
+        for seed in seeds:
+            config.add_node_configuration("status", seed, 1)
+        iterations = model.iteration_bunch(iterations_count)
+        final_status = iterations[-1]["status"]
+        influenced = sum(1 for s in final_status.values() if s == 2)
+        return influenced, len(iterations)
+
+    edges, n = _as_edges_and_n(G)
+    counts, iters = independent_cascade(
+        edges, n, seeds, p=p, num_sims=1, max_iters=iterations_count,
+        key=jax.random.PRNGKey(np.random.randint(0, 2**31)),
+    )
+    return int(counts[0]), iters
+
+
+def estimated_influence(G, seeds, p=0.1, iterations_count=200, num_sims=64,
+                        key=None):
+    """Batched Monte-Carlo IC spread estimate (mean over num_sims runs).
+
+    The TPU-native scoring path: one jitted batched cascade instead of
+    num_sims sequential Python simulations.
+    """
+    edges, n = _as_edges_and_n(G)
+    counts, _ = independent_cascade(
+        edges, n, seeds, p=p, num_sims=num_sims, max_iters=iterations_count,
+        key=key,
+    )
+    return float(np.mean(counts))
+
+
+@partial(jax.jit, static_argnames=("n", "num_sims", "max_iters"))
+def _batched_marginal(src, dst, base_mask, cand_ids, p, key, n, num_sims,
+                      max_iters):
+    """Evaluate IC spread for base_mask + each candidate, all on device."""
+
+    def one(args):
+        cand, key = args
+        mask = base_mask.at[cand].set(True)
+        return jnp.mean(
+            _ic_run(src, dst, mask, p, key, n, num_sims, max_iters).astype(
+                jnp.float32
+            )
+        )
+
+    keys = jax.random.split(key, cand_ids.shape[0])
+    return jax.lax.map(one, (cand_ids, keys))
+
+
+def greedy_seed_selection(G, k, p=0.1, iterations_count=200, num_sims=32,
+                          seed=0):
+    """Greedy marginal-gain seed selection (reference influence.py:87-128).
+
+    Each greedy round evaluates every remaining candidate's marginal spread
+    with the batched JAX simulator (lax.map over candidates on device) —
+    the O(k * n) simulation sweep the reference runs in pure Python.
+
+    Returns (seeds list, total simulated cascades).
+    """
+    edges, n = _as_edges_and_n(G)
+    edges = np.asarray(edges, np.int32)
+    src = jnp.asarray(np.concatenate([edges[:, 0], edges[:, 1]]))
+    dst = jnp.asarray(np.concatenate([edges[:, 1], edges[:, 0]]))
+    key = jax.random.PRNGKey(seed)
+
+    seeds = []
+    total_evals = 0
+    base_mask = jnp.zeros(n, bool)
+    for _ in range(k):
+        cand_ids = np.array(
+            [v for v in range(n) if v not in seeds], np.int32
+        )
+        key, sub = jax.random.split(key)
+        gains = np.asarray(
+            _batched_marginal(
+                src, dst, base_mask, jnp.asarray(cand_ids), float(p), sub,
+                int(n), int(num_sims), int(iterations_count),
+            )
+        )
+        best = int(cand_ids[int(np.argmax(gains))])
+        seeds.append(best)
+        base_mask = base_mask.at[best].set(True)
+        total_evals += len(cand_ids) * num_sims
+    return seeds, total_evals

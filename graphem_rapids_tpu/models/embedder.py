@@ -1,0 +1,384 @@
+"""GraphEmbedderTPU — the single TPU-native layout engine.
+
+The reference ships two engines (GraphEmbedderPyTorch,
+backends/embedder_pytorch.py; GraphEmbedderCuVS, backends/embedder_cuvs.py)
+because of CUDA library gaps. Here there is ONE jitted engine and the
+"backend" axis becomes kernel-strategy selection (exact XLA kNN vs Pallas
+tiled kNN vs sharded multi-chip kNN) plus mesh selection — see
+utils/backend_selection.py and SURVEY.md §7.1.2.
+
+TPU-first design points:
+- the whole layout iteration is one jitted, static-shape function; the
+  position buffer is donated, so iterating never reallocates HBM;
+- scatter accumulation is a pre-sorted segment-sum (deterministic on TPU,
+  unlike CUDA index_add_ atomics);
+- candidate filtering is multiplicative masking, not boolean indexing, so
+  nothing recompiles across iterations;
+- RNG is an explicit threaded jax.random key; sample indices can be
+  injected for layer-by-layer parity testing against the numpy oracle.
+
+Implements the (correct) midpoint-vs-midpoint kNN semantics of the PyTorch
+backend, not the cuVS backend's vertex-index quirk (SURVEY.md §3.3).
+"""
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..ops.forces import build_scatter_plan, intersection_forces, spring_forces
+from ..ops.knn import knn
+from ..ops.laplacian import spectral_init
+from ..utils.memory_management import get_optimal_chunk_size
+
+logger = logging.getLogger(__name__)
+
+EPS = 1e-6
+
+
+class GraphEmbedderTPU:
+    """Force-directed graph embedder on TPU (JAX/XLA/Pallas).
+
+    Parameters mirror the reference engine's constructor surface
+    (embedder_pytorch.py:51-104) so reference users can switch directly.
+
+    Parameters
+    ----------
+    adjacency : array-like or scipy.sparse matrix
+        Square adjacency matrix (n x n); 1s for edges.
+    n_components : int, default=2
+        Embedding dimensionality.
+    dtype : jnp dtype, default=jnp.float32
+        Position/compute dtype.
+    L_min : float, default=1.0
+        Minimum spring length.
+    k_attr : float, default=0.2
+        Spring attraction constant.
+    k_inter : float, default=0.5
+        Intersection repulsion constant.
+    n_neighbors : int, default=10
+        Neighbors per sampled midpoint for intersection detection.
+    sample_size : int, default=256
+        Edge midpoints sampled per iteration (bounds the quadratic
+        intersection search; reference embedder_pytorch.py:156).
+    batch_size : int, optional
+        kNN reference-tile chunk; auto-derived from static memory budgets
+        when None (utils/memory_management.py).
+    knn_strategy : str, default='auto'
+        'auto' | 'exact' | 'chunked' | 'approx' | 'pallas'.
+    init : str, default='auto'
+        Spectral-init tier: 'auto' | 'scipy' | 'lobpcg' | 'random'.
+    memory_efficient : bool, default=True
+        Kept for API compatibility; chunked strategies are always available.
+    verbose : bool, default=True
+    logger_instance : logging.Logger, optional
+    seed : int, optional
+        Seeds the jax.random key stream and the numpy fallback init.
+    device : optional
+        Accepted for reference API compatibility ('cpu', 'tpu', jax.Device);
+        None selects jax.devices()[0].
+    """
+
+    def __init__(
+        self,
+        adjacency,
+        n_components=2,
+        device=None,
+        dtype=jnp.float32,
+        L_min=1.0,
+        k_attr=0.2,
+        k_inter=0.5,
+        n_neighbors=10,
+        sample_size=256,
+        batch_size=None,
+        knn_strategy="auto",
+        init="auto",
+        memory_efficient=True,
+        verbose=True,
+        logger_instance=None,
+        seed=None,
+    ):
+        if logger_instance is not None:
+            self.logger = logger_instance
+        else:
+            self.logger = logger
+            if verbose:
+                logging.basicConfig(level=logging.INFO)
+
+        adjacency = self._validate_adjacency(adjacency)
+        self.adjacency = adjacency
+        self.n = adjacency.shape[0]
+        self.n_components = int(n_components)
+        self.dtype = dtype
+        self.L_min = float(L_min)
+        self.k_attr = float(k_attr)
+        self.k_inter = float(k_inter)
+        self.n_neighbors = int(n_neighbors)
+        self.memory_efficient = memory_efficient
+        self.verbose = verbose
+        self.seed = seed
+        self.knn_strategy = knn_strategy
+        self._iteration = 0
+
+        if self.n_components <= 0:
+            raise ValueError(
+                f"Number of components must be positive, got {n_components}"
+            )
+        if self.k_attr < 0:
+            raise ValueError(
+                f"Attractive force constant k_attr must be non-negative, "
+                f"got {k_attr}"
+            )
+        if self.n_neighbors <= 0:
+            raise ValueError(
+                f"n_neighbors must be positive, got {n_neighbors}"
+            )
+        if sample_size <= 0:
+            raise ValueError(f"sample_size must be positive, got {sample_size}")
+
+        self.device = self._resolve_device(device)
+
+        edges_np = self._extract_edges_from_adjacency(adjacency)
+        self.n_edges = len(edges_np)
+        self.sample_size = int(min(sample_size, max(self.n_edges, 1)))
+        self._edges_np = edges_np
+
+        if batch_size is None:
+            self.batch_size = get_optimal_chunk_size(
+                self.n, self.n_components, strategy=self._resolved_strategy()
+            )
+            if self.verbose:
+                self.logger.info(
+                    "Using automatic batch size: %d", self.batch_size
+                )
+        else:
+            self.batch_size = int(batch_size)
+            if self.verbose:
+                self.logger.info(
+                    "Using user-defined batch size: %d", self.batch_size
+                )
+
+        with jax.default_device(self.device):
+            self.edges = jnp.asarray(edges_np, jnp.int32)
+            self._scatter_plan = (
+                build_scatter_plan(edges_np, self.n) if self.n_edges else None
+            )
+            self._key = jax.random.PRNGKey(
+                seed if seed is not None else np.random.SeedSequence().entropy % (2**31)
+            )
+
+            if self.verbose:
+                self.logger.info(
+                    "Initialized GraphEmbedderTPU on %s", self.device
+                )
+                self.logger.info(
+                    "Graph: %d vertices, %d edges, %dD",
+                    self.n, self.n_edges, self.n_components,
+                )
+                self.logger.info(
+                    "kNN strategy: %s", self._resolved_strategy()
+                )
+
+            init_np = spectral_init(
+                adjacency, self.n_components, method=init, seed=seed
+            )
+            self._positions = jnp.asarray(init_np, self.dtype)
+
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------ #
+    # construction helpers
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _resolve_device(device):
+        if device is None:
+            return jax.devices()[0]
+        if isinstance(device, str):
+            name = device.lower()
+            if name in ("cpu",):
+                return jax.devices("cpu")[0]
+            for d in jax.devices():
+                if name in (d.platform, str(d).lower()):
+                    return d
+            return jax.devices()[0]
+        return device
+
+    def _validate_adjacency(self, adjacency):
+        """Validate and convert to CSR (reference embedder_pytorch.py:182-218)."""
+        if sp.issparse(adjacency):
+            adjacency = adjacency.tocsr()
+        elif not isinstance(adjacency, np.ndarray):
+            adjacency = np.asarray(adjacency)
+
+        if adjacency.ndim != 2 or adjacency.shape[0] != adjacency.shape[1]:
+            raise ValueError(
+                f"Adjacency matrix must be square, got shape {adjacency.shape}"
+            )
+        if adjacency.shape[0] == 0:
+            raise ValueError("Adjacency matrix cannot be empty")
+        if not sp.issparse(adjacency):
+            adjacency = sp.csr_matrix(adjacency)
+        return adjacency
+
+    def _extract_edges_from_adjacency(self, adjacency):
+        """Upper-triangle COO extraction (reference :220-245)."""
+        rows, cols = adjacency.nonzero()
+        mask = rows < cols
+        edges = np.column_stack([rows[mask], cols[mask]]).astype(np.int64)
+        if self.verbose and len(edges) == 0:
+            self.logger.warning("No edges found in adjacency matrix")
+        return edges
+
+    def _resolved_strategy(self):
+        if self.knn_strategy != "auto":
+            return self.knn_strategy
+        from ..ops.knn import EXACT_MAX_REFS
+
+        if self.n_edges <= EXACT_MAX_REFS:
+            return "exact"
+        return "pallas" if self.device.platform != "cpu" else "chunked"
+
+    # ------------------------------------------------------------------ #
+    # the jitted layout step
+    # ------------------------------------------------------------------ #
+
+    def _build_step(self):
+        strategy = self._resolved_strategy()
+        chunk = self.batch_size
+        S = self.sample_size
+        E = self.n_edges
+        k = self.n_neighbors
+        k_attr, L_min, k_inter = self.k_attr, self.L_min, self.k_inter
+        edges = self.edges
+        plan = self._scatter_plan
+
+        def raw_step(positions, sampled_indices):
+            spring = spring_forces(positions, edges, k_attr, L_min, plan)
+            midpoints = (
+                positions[edges[:, 0]] + positions[edges[:, 1]]
+            ) / 2.0
+            knn_idx, _ = knn(
+                midpoints[sampled_indices], midpoints, k + 1,
+                strategy=strategy, chunk_size=chunk,
+            )
+            knn_idx = knn_idx[:, 1:]  # drop self column (reference :421)
+            inter = intersection_forces(
+                positions, edges, knn_idx, sampled_indices, k_inter
+            )
+            new_positions = positions + spring + inter
+            new_positions = new_positions - jnp.mean(
+                new_positions, axis=0, keepdims=True
+            )
+            std = jnp.std(new_positions, axis=0, keepdims=True, ddof=1) + EPS
+            return new_positions / std
+
+        def sample(key):
+            if S < E:
+                return jax.random.permutation(key, E)[:S].astype(jnp.int32)
+            return jnp.arange(E, dtype=jnp.int32)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(positions, key):
+            key, sub = jax.random.split(key)
+            return raw_step(positions, sample(sub)), key
+
+        @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(0,))
+        def multi_step(positions, key, num_steps):
+            def body(_, carry):
+                positions, key = carry
+                key, sub = jax.random.split(key)
+                return raw_step(positions, sample(sub)), key
+
+            return jax.lax.fori_loop(0, num_steps, body, (positions, key))
+
+        self._raw_step = jax.jit(raw_step)
+        self._multi_step = multi_step
+        return step
+
+    # ------------------------------------------------------------------ #
+    # public API (mirrors the reference engine surface)
+    # ------------------------------------------------------------------ #
+
+    @property
+    def positions(self):
+        """Positions as a host numpy array (reference :324-327)."""
+        return np.asarray(self._positions)
+
+    @positions.setter
+    def positions(self, value):
+        with jax.default_device(self.device):
+            self._positions = jnp.asarray(value, self.dtype)
+
+    def get_positions(self):
+        """Positions as a numpy array."""
+        return self.positions
+
+    def update_positions(self, sample_indices=None):
+        """Run one layout iteration.
+
+        sample_indices : optional (S,) int array — inject the midpoint sample
+        (parity-testing hook; SURVEY.md §7.1.4). When None, the sample is
+        drawn from the embedder's jax.random key stream.
+        """
+        if self.n_edges == 0:
+            return
+        if sample_indices is not None:
+            self._positions = self._raw_step(
+                self._positions, jnp.asarray(sample_indices, jnp.int32)
+            )
+        else:
+            self._positions, self._key = self._step(self._positions, self._key)
+        self._iteration += 1
+
+    def run_layout(self, num_iterations=100, block_size=10):
+        """Run the force-directed layout.
+
+        Iterations execute on-device in fused blocks of ``block_size`` (one
+        XLA dispatch per block) with progress logged between blocks; the
+        final positions are returned as numpy.
+        """
+        if self.verbose:
+            self.logger.info("Running layout for %d iterations", num_iterations)
+        if self.n_edges == 0:
+            return self.positions
+
+        done = 0
+        while done < num_iterations:
+            n = min(block_size, num_iterations - done)
+            self._positions, self._key = self._multi_step(
+                self._positions, self._key, num_steps=n
+            )
+            done += n
+            self._iteration += n
+            if self.verbose:
+                self.logger.info(
+                    "Completed iteration %d/%d", done, num_iterations
+                )
+        jax.block_until_ready(self._positions)
+        return self.positions
+
+    def display_layout(self, edge_width=1, node_size=3, node_colors=None):
+        """Plotly 2D/3D scatter of the embedding (reference :846-969).
+
+        Requires plotly; raises ImportError with guidance if missing.
+        """
+        from ..visualization import plot_layout
+
+        plot_layout(
+            self.positions,
+            self._edges_np,
+            edge_width=edge_width,
+            node_size=node_size,
+            node_colors=node_colors,
+        )
+
+    def __repr__(self):
+        return (
+            f"GraphEmbedderTPU(n_vertices={self.n}, "
+            f"n_components={self.n_components}, device={self.device}, "
+            f"knn_strategy={self._resolved_strategy()!r})"
+        )

@@ -1,0 +1,156 @@
+"""Force computations for the layout iteration, TPU-native.
+
+The reference accumulates per-edge forces onto vertices with CUDA
+``index_add_`` atomics (graphem_rapids/backends/embedder_pytorch.py:595-636,
+:638-736). On TPU the idiomatic (and deterministic) equivalent is
+``jax.ops.segment_sum`` over the COO edge list. Because the edge list is
+static for the lifetime of an embedder, we pre-sort the scatter indices once
+at init time (``build_scatter_plan``) so every iteration runs a
+sorted-segment-sum, which XLA lowers to a far cheaper kernel than a random
+scatter.
+
+The intersection-repulsion pass replaces the reference's data-dependent
+boolean filtering (embedder_pytorch.py:671-719) with a static-shape
+multiplicative 0/1 weight: mathematically identical accumulated forces, no
+recompilation, no dynamic shapes (SURVEY.md §7.1.1).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .intersect import segments_intersect_2d
+
+EPS = 1e-6
+
+
+def build_scatter_plan(edges_np, n):
+    """Precompute a sorted scatter plan for spring-force accumulation.
+
+    Parameters
+    ----------
+    edges_np : np.ndarray (E, 2) int
+        COO edge list with i < j.
+    n : int
+        Number of vertices.
+
+    Returns
+    -------
+    dict with 'perm' (2E,) int32 and 'sorted_ids' (2E,) int32 arrays such that
+    ``segment_sum(values[perm], sorted_ids, indices_are_sorted=True)``
+    accumulates edge forces (values = [f; -f] stacked) onto vertices.
+    """
+    idx = np.concatenate([edges_np[:, 0], edges_np[:, 1]]).astype(np.int32)
+    perm = np.argsort(idx, kind="stable").astype(np.int32)
+    return {
+        "perm": jnp.asarray(perm),
+        "sorted_ids": jnp.asarray(idx[perm]),
+        "n": n,
+    }
+
+
+def spring_forces(positions, edges, k_attr, L_min, scatter_plan=None):
+    """Hookean spring attraction along edges.
+
+    Mirrors reference embedder_pytorch.py:595-636:
+      F_edge = -k_attr * (||p2-p1|| - L_min) * unit(p2-p1)
+      forces[e0] += F_edge ; forces[e1] -= F_edge
+
+    Parameters
+    ----------
+    positions : (n, d) float array
+    edges : (E, 2) int array
+    k_attr, L_min : float spring constants
+    scatter_plan : optional dict from build_scatter_plan for the sorted
+        segment-sum fast path.
+    """
+    p1 = positions[edges[:, 0]]
+    p2 = positions[edges[:, 1]]
+    diff = p2 - p1
+    dist = jnp.linalg.norm(diff, axis=1, keepdims=True) + EPS
+    force_magnitude = -k_attr * (dist - L_min)
+    edge_forces = force_magnitude * (diff / dist)
+
+    values = jnp.concatenate([edge_forces, -edge_forces], axis=0)
+    if scatter_plan is not None:
+        values = values[scatter_plan["perm"]]
+        return jax.ops.segment_sum(
+            values,
+            scatter_plan["sorted_ids"],
+            num_segments=scatter_plan["n"],
+            indices_are_sorted=True,
+        )
+    ids = jnp.concatenate([edges[:, 0], edges[:, 1]], axis=0)
+    return jax.ops.segment_sum(values, ids, num_segments=positions.shape[0])
+
+
+@partial(jax.jit, static_argnames=("k_inter",))
+def _repulsion_terms(positions, edges_i, edges_j, weight, k_inter):
+    p1 = positions[edges_i[:, 0]]
+    p2 = positions[edges_i[:, 1]]
+    q1 = positions[edges_j[:, 0]]
+    q2 = positions[edges_j[:, 1]]
+    inter_mid = (p1 + p2 + q1 + q2) / 4.0
+
+    def repulse(v):
+        d = v - inter_mid
+        dist = jnp.linalg.norm(d, axis=1, keepdims=True) + EPS
+        return weight * (k_inter * d / (dist**2))
+
+    vals = jnp.concatenate([repulse(p1), repulse(p2), repulse(q1), repulse(q2)])
+    return vals
+
+
+def intersection_forces(
+    positions, edges, knn_indices, sampled_indices, k_inter, pair_weight=None
+):
+    """Inverse-distance repulsion at geometrically intersecting edge pairs.
+
+    Static-shape equivalent of reference embedder_pytorch.py:638-736. The
+    reference filters candidate pairs in three data-dependent steps
+    (i<j, no shared vertex, segments intersect); we instead fold all three
+    predicates into one multiplicative 0/1 weight on the repulsion term, so
+    the accumulated per-vertex forces are bitwise the same math on a fixed
+    (sample_size * k) candidate set.
+
+    Parameters
+    ----------
+    positions : (n, d) float
+    edges : (E, 2) int
+    knn_indices : (S, k) int — kNN edge indices for each sampled edge midpoint
+    sampled_indices : (S,) int — indices of sampled edges
+    k_inter : float repulsion constant
+    pair_weight : optional (S*k,) float — extra multiplicative weight
+        (used by the sharded path to mask padded candidates).
+    """
+    n = positions.shape[0]
+    S, k = knn_indices.shape
+    candidate_i = jnp.repeat(sampled_indices, k)
+    candidate_j = knn_indices.reshape(-1)
+
+    valid = candidate_i < candidate_j
+    edges_i = edges[candidate_i]
+    edges_j = edges[candidate_j]
+    share = (
+        (edges_i[:, 0] == edges_j[:, 0])
+        | (edges_i[:, 0] == edges_j[:, 1])
+        | (edges_i[:, 1] == edges_j[:, 0])
+        | (edges_i[:, 1] == edges_j[:, 1])
+    )
+    p1 = positions[edges_i[:, 0]]
+    p2 = positions[edges_i[:, 1]]
+    q1 = positions[edges_j[:, 0]]
+    q2 = positions[edges_j[:, 1]]
+    intersects = segments_intersect_2d(p1, p2, q1, q2)
+
+    weight = (valid & ~share & intersects).astype(positions.dtype)[:, None]
+    if pair_weight is not None:
+        weight = weight * pair_weight[:, None]
+
+    vals = _repulsion_terms(positions, edges_i, edges_j, weight, float(k_inter))
+    ids = jnp.concatenate(
+        [edges_i[:, 0], edges_i[:, 1], edges_j[:, 0], edges_j[:, 1]]
+    )
+    return jax.ops.segment_sum(vals, ids, num_segments=n)

@@ -1,0 +1,141 @@
+"""k-nearest-neighbor search over edge midpoints, TPU-native.
+
+This replaces all three native kNN engines of the reference with XLA / Pallas
+strategies on one device model (SURVEY.md §2.3):
+
+- reference torch.cdist + torch.topk chunks (embedder_pytorch.py:543-593)
+- reference PyKeOps LazyTensor.argKmin     (embedder_pytorch.py:485-541)
+- reference RAPIDS cuVS brute/ivf_flat/ivf_pq indices (embedder_cuvs.py:255-430)
+
+Strategies:
+- ``knn_exact``   : one (S, E) distance matrix + lax.top_k. Best for small E.
+- ``knn_chunked`` : lax.scan over reference-point tiles with a running top-k
+                    merge — the blockwise "never materialize S x E" property
+                    the reference gets from PyKeOps, natively.
+- ``knn_approx``  : chunked scan using jax.lax.approx_min_k, which lowers to
+                    the TPU PartialReduce op from the TPU-KNN paper
+                    (arXiv:2206.14286) — the cuVS ANN-index replacement.
+- ``knn_pallas``  : hand-written Pallas tiled kernel (ops/knn_pallas.py).
+
+All distances are squared Euclidean (monotone in the L2 distance used by
+torch.cdist, so the neighbor sets match).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Strategy auto-selection threshold: below this many reference points a single
+# (S, E) distance matrix is cheap (<= 32Mi f32 at S=1024).
+EXACT_MAX_REFS = 32768
+DEFAULT_CHUNK = 8192
+
+
+def squared_distances(queries, refs):
+    """(S, E) squared Euclidean distances.
+
+    For the tiny embedding dims used here (2-4 typical) the difference
+    formulation is exact and VPU-friendly; for larger d we switch to the
+    MXU matmul expansion ||q||^2 - 2 q.r + ||r||^2.
+    """
+    d = queries.shape[-1]
+    if d <= 8:
+        diff = queries[:, None, :] - refs[None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
+    qn = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    rn = jnp.sum(refs * refs, axis=-1)
+    cross = jnp.dot(queries, refs.T, preferred_element_type=jnp.float32)
+    return qn - 2.0 * cross + rn[None, :]
+
+
+def knn_exact(queries, refs, k):
+    """Exact kNN via one dense distance matrix + lax.top_k.
+
+    Returns (indices (S, k) int32, sq_distances (S, k)).
+    """
+    d2 = squared_distances(queries, refs)
+    neg_vals, idx = jax.lax.top_k(-d2, k)
+    return idx.astype(jnp.int32), -neg_vals
+
+
+def _merge_topk(vals_a, idx_a, vals_b, idx_b, k):
+    """Merge two running top-k candidate sets (smallest-k by value)."""
+    vals = jnp.concatenate([vals_a, vals_b], axis=1)
+    idx = jnp.concatenate([idx_a, idx_b], axis=1)
+    neg_vals, pos = jax.lax.top_k(-vals, k)
+    return -neg_vals, jnp.take_along_axis(idx, pos, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk_size", "approx"))
+def _knn_scanned(queries, refs, k, chunk_size, approx):
+    S = queries.shape[0]
+    E, d = refs.shape
+    n_chunks = -(-E // chunk_size)
+    pad = n_chunks * chunk_size - E
+    # Padded reference points sit at +LARGE so they can never be neighbors.
+    refs_p = jnp.concatenate(
+        [refs, jnp.full((pad, d), 1e30, refs.dtype)], axis=0
+    ) if pad else refs
+    refs_t = refs_p.reshape(n_chunks, chunk_size, d)
+    offsets = (jnp.arange(n_chunks) * chunk_size).astype(jnp.int32)
+
+    init_vals = jnp.full((S, k), jnp.inf, jnp.float32)
+    init_idx = jnp.zeros((S, k), jnp.int32)
+
+    def body(carry, chunk):
+        vals, idx = carry
+        ref_chunk, offset = chunk
+        d2 = squared_distances(queries, ref_chunk).astype(jnp.float32)
+        if approx:
+            c_vals, c_idx = jax.lax.approx_min_k(d2, k)
+        else:
+            neg, c_idx = jax.lax.top_k(-d2, k)
+            c_vals = -neg
+        c_idx = c_idx.astype(jnp.int32) + offset
+        return _merge_topk(vals, idx, c_vals, c_idx, k), None
+
+    (vals, idx), _ = jax.lax.scan(body, (init_vals, init_idx), (refs_t, offsets))
+    return idx, vals
+
+
+def knn_chunked(queries, refs, k, chunk_size=DEFAULT_CHUNK):
+    """Exact kNN with blockwise scan over reference tiles (running top-k)."""
+    return _knn_scanned(queries, refs, k, min(chunk_size, refs.shape[0]), False)
+
+
+def knn_approx(queries, refs, k, chunk_size=DEFAULT_CHUNK):
+    """Approximate kNN via the TPU PartialReduce op (jax.lax.approx_min_k).
+
+    This is the TPU-native analog of the reference's cuVS ivf_flat/ivf_pq ANN
+    tiers (embedder_cuvs.py:255-313): high recall at a fraction of the sort
+    cost. The final cross-chunk merge is exact over the per-chunk candidates.
+    """
+    return _knn_scanned(queries, refs, k, min(chunk_size, refs.shape[0]), True)
+
+
+def knn(queries, refs, k, strategy="auto", chunk_size=DEFAULT_CHUNK):
+    """Strategy-dispatched kNN.
+
+    strategy in {'auto', 'exact', 'chunked', 'approx', 'pallas'}. 'auto'
+    mirrors the reference's tiered engine selection
+    (embedder_pytorch.py:449-483, embedder_cuvs.py:255-272) but selects a
+    kernel strategy on one engine instead of a library.
+    """
+    E = refs.shape[0]
+    if strategy == "auto":
+        strategy = "exact" if E <= EXACT_MAX_REFS else "pallas"
+    if strategy == "exact":
+        return knn_exact(queries, refs, k)
+    if strategy == "chunked":
+        return knn_chunked(queries, refs, k, chunk_size)
+    if strategy == "approx":
+        return knn_approx(queries, refs, k, chunk_size)
+    if strategy == "pallas":
+        from .knn_pallas import knn_pallas  # lazy: pallas import cost
+
+        try:
+            return knn_pallas(queries, refs, k)
+        except Exception:  # pragma: no cover - graceful tier-down, see §5.3
+            return knn_chunked(queries, refs, k, chunk_size)
+    raise ValueError(f"Unknown kNN strategy: {strategy!r}")

@@ -1,0 +1,179 @@
+"""Execution-strategy ("backend") selection.
+
+The reference picks among {pytorch-cuda, pytorch-cpu, cuvs} external
+libraries (graphem_rapids/utils/backend_selection.py:142-206). The TPU
+framework has ONE engine, so this layer selects a kernel strategy + device
+tier on that engine (SURVEY.md §7.1.2) while keeping the reference's
+BackendConfig / env-var UX:
+
+- 'exact'   : dense XLA kNN (small graphs)
+- 'chunked' : blockwise scan kNN (large graphs, CPU hosts)
+- 'approx'  : TPU PartialReduce approx-kNN (very large graphs)
+- 'pallas'  : hand-tiled Pallas kNN kernel (large graphs on TPU)
+- 'sharded' : multi-chip edge-partitioned execution over a jax Mesh
+
+Legacy reference names are accepted as aliases: 'pytorch'/'cpu' -> exact or
+chunked tiers, 'cuvs' -> pallas/approx tier.
+
+Environment variables (reference backend_selection.py:286-293):
+GRAPHEM_BACKEND, GRAPHEM_PREFER_TPU (alias GRAPHEM_PREFER_GPU),
+GRAPHEM_MEMORY_LIMIT, GRAPHEM_VERBOSE.
+"""
+
+import logging
+import math
+import os
+from dataclasses import dataclass, field
+
+logger = logging.getLogger(__name__)
+
+VALID_STRATEGIES = ("auto", "exact", "chunked", "approx", "pallas", "sharded")
+LEGACY_ALIASES = {
+    "pytorch": "auto",
+    "cuda": "auto",
+    "gpu": "auto",
+    "tpu": "auto",
+    "cpu": "chunked",
+    "cuvs": "pallas",
+    "rapids": "pallas",
+}
+
+# Vertex-count tiers, mirroring the reference decision thresholds
+# (backend_selection.py:178-206 / embedder_cuvs.py:264-272).
+LARGE_GRAPH_VERTICES = 100_000
+MEDIUM_GRAPH_VERTICES = 10_000
+
+
+@dataclass
+class BackendConfig:
+    """Configuration for strategy selection
+    (reference backend_selection.py:16-29)."""
+
+    n_vertices: int
+    n_components: int = 2
+    n_edges: int | None = None
+    force_backend: str | None = None
+    prefer_tpu: bool = True
+    memory_limit: float | None = None  # GB
+    verbose: bool = False
+    mesh_devices: int = field(default=1)
+
+    def __post_init__(self):
+        if self.n_vertices <= 0:
+            raise ValueError(
+                f"n_vertices must be positive, got {self.n_vertices}"
+            )
+        if self.n_components <= 0:
+            raise ValueError(
+                f"n_components must be positive, got {self.n_components}"
+            )
+        if self.force_backend is not None:
+            resolved = LEGACY_ALIASES.get(
+                self.force_backend, self.force_backend
+            )
+            if resolved not in VALID_STRATEGIES:
+                raise ValueError(
+                    f"force_backend must be one of {VALID_STRATEGIES} (or a "
+                    f"legacy alias {tuple(LEGACY_ALIASES)}), got "
+                    f"{self.force_backend!r}"
+                )
+            self.force_backend = resolved
+
+
+def check_tpu_availability():
+    """Probe for an attached TPU (reference check_torch_availability analog,
+    backend_selection.py:32-57)."""
+    try:
+        import jax
+
+        return any(d.platform == "tpu" for d in jax.devices())
+    except Exception:  # pragma: no cover
+        return False
+
+
+def check_device_count():
+    """Number of addressable accelerator devices."""
+    try:
+        import jax
+
+        return jax.local_device_count()
+    except Exception:  # pragma: no cover
+        return 1
+
+
+def get_data_complexity_score(n_vertices, n_components):
+    """Sigmoid complexity score in [0, 1] (reference
+    backend_selection.py:94-139; informational/logging only there and here)."""
+    vertex_score = 1.0 / (1.0 + math.exp(-(n_vertices - 1e6) / 2**18))
+    dim_score = 1.0 / (1.0 + math.exp(-(n_components - 5)))
+    return 0.8 * vertex_score + 0.2 * dim_score
+
+
+def estimate_memory_usage(n_vertices, n_components, strategy="exact",
+                          sample_size=1024):
+    """Rough working-set estimate in GB (reference
+    backend_selection.py:209-252)."""
+    pos = n_vertices * n_components * 4
+    edges = n_vertices * 8 * 8  # avg-degree-8 guess, int32 pairs x2 dirs
+    if strategy == "exact":
+        block = sample_size * n_vertices * 8 * 4
+    else:
+        block = sample_size * 8192 * 4
+    return (5 * pos + edges + block) / 1024**3
+
+
+def get_optimal_backend(config: BackendConfig):
+    """Decision tree mapping graph scale + hardware to a strategy
+    (reference backend_selection.py:142-206 reshaped per SURVEY.md §7.1.2).
+    """
+    score = get_data_complexity_score(config.n_vertices, config.n_components)
+    if config.verbose:
+        logger.info("Data complexity score: %.3f", score)
+
+    if config.force_backend and config.force_backend != "auto":
+        if config.verbose:
+            logger.info("Forced strategy: %s", config.force_backend)
+        return config.force_backend
+
+    n = config.n_vertices
+    has_tpu = check_tpu_availability() and config.prefer_tpu
+    n_devices = config.mesh_devices or check_device_count()
+
+    if n > LARGE_GRAPH_VERTICES and n_devices > 1:
+        return "sharded"
+    if n > LARGE_GRAPH_VERTICES:
+        return "pallas" if has_tpu else "approx"
+    if n > MEDIUM_GRAPH_VERTICES:
+        if config.memory_limit is not None:
+            est = estimate_memory_usage(n, config.n_components, "exact")
+            if est > config.memory_limit:
+                return "chunked"
+        return "pallas" if has_tpu else "chunked"
+    return "exact"
+
+
+def log_backend_selection(strategy, config):
+    """Log the selected strategy (reference backend_selection.py:255-283)."""
+    logger.info(
+        "Selected strategy %s for n=%d, d=%d (tpu=%s, devices=%d)",
+        strategy, config.n_vertices, config.n_components,
+        check_tpu_availability(), check_device_count(),
+    )
+
+
+def get_default_config(n_vertices, n_components=2):
+    """Build a BackendConfig honoring environment variables
+    (reference backend_selection.py:286-293)."""
+    prefer = os.environ.get(
+        "GRAPHEM_PREFER_TPU", os.environ.get("GRAPHEM_PREFER_GPU", "true")
+    ).lower() in ("1", "true", "yes")
+    mem = os.environ.get("GRAPHEM_MEMORY_LIMIT")
+    return BackendConfig(
+        n_vertices=n_vertices,
+        n_components=n_components,
+        force_backend=os.environ.get("GRAPHEM_BACKEND"),
+        prefer_tpu=prefer,
+        memory_limit=float(mem) if mem else None,
+        verbose=os.environ.get("GRAPHEM_VERBOSE", "false").lower()
+        in ("1", "true", "yes"),
+    )

@@ -1,0 +1,141 @@
+"""Layer-by-layer allclose parity: TPU engine vs numpy oracle.
+
+The oracle (models/oracle.py) transcribes the reference PyTorch-CPU
+update_positions step; these tests drive both implementations with IDENTICAL
+injected sample indices (SURVEY.md §7.1.4) and compare per-layer outputs.
+This is the BASELINE.md config-1 parity gate.
+"""
+
+import numpy as np
+import pytest
+
+import graphem_rapids_tpu as gr
+from graphem_rapids_tpu.models import oracle
+from graphem_rapids_tpu.ops.forces import (
+    build_scatter_plan,
+    intersection_forces,
+    spring_forces,
+)
+from graphem_rapids_tpu.ops.knn import knn_chunked, knn_exact
+
+PARAMS = dict(k_attr=0.5, L_min=10.0, k_inter=0.1, n_neighbors=15)
+
+
+def _setup(n=300, p=0.03, d=3, seed=0):
+    adj = gr.erdos_renyi_graph(n, p, seed=seed)
+    rows, cols = adj.nonzero()
+    mask = rows < cols
+    edges = np.column_stack([rows[mask], cols[mask]]).astype(np.int64)
+    rng = np.random.default_rng(seed)
+    positions = rng.standard_normal((n, d)).astype(np.float32)
+    return edges, positions
+
+
+@pytest.mark.fast
+def test_spring_forces_parity():
+    edges, positions = _setup()
+    expected = oracle.spring_forces_np(positions, edges, 0.5, 10.0)
+    plan = build_scatter_plan(edges, positions.shape[0])
+    import jax.numpy as jnp
+
+    got = np.asarray(
+        spring_forces(jnp.asarray(positions), jnp.asarray(edges, jnp.int32),
+                      0.5, 10.0, plan)
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.fast
+def test_spring_forces_parity_unsorted_scatter():
+    edges, positions = _setup()
+    expected = oracle.spring_forces_np(positions, edges, 0.5, 10.0)
+    import jax.numpy as jnp
+
+    got = np.asarray(
+        spring_forces(jnp.asarray(positions), jnp.asarray(edges, jnp.int32),
+                      0.5, 10.0, None)
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("knn_fn", [knn_exact, knn_chunked])
+def test_knn_parity(knn_fn):
+    edges, positions = _setup()
+    midpoints = (positions[edges[:, 0]] + positions[edges[:, 1]]) / 2.0
+    sampled = np.arange(0, len(edges), 3)
+    expected = oracle.knn_np(midpoints[sampled], midpoints, 8)
+    import jax.numpy as jnp
+
+    got, _ = knn_fn(jnp.asarray(midpoints[sampled]), jnp.asarray(midpoints), 8)
+    got = np.asarray(got)
+    # Compare neighbor SETS per row (tie order may differ across engines);
+    # distances of the selected neighbors must match exactly as multisets.
+    d2 = ((midpoints[sampled][:, None] - midpoints[None]) ** 2).sum(-1)
+    exp_d = np.sort(np.take_along_axis(d2, expected, axis=1), axis=1)
+    got_d = np.sort(np.take_along_axis(d2, got, axis=1), axis=1)
+    np.testing.assert_allclose(got_d, exp_d, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.fast
+def test_intersection_forces_parity():
+    edges, positions = _setup()
+    midpoints = (positions[edges[:, 0]] + positions[edges[:, 1]]) / 2.0
+    rng = np.random.default_rng(1)
+    sampled = rng.permutation(len(edges))[:128]
+    knn_idx = oracle.knn_np(midpoints[sampled], midpoints, 16)[:, 1:]
+    expected = oracle.intersection_forces_np(
+        positions, edges, knn_idx, sampled, 0.1
+    )
+    import jax.numpy as jnp
+
+    got = np.asarray(
+        intersection_forces(
+            jnp.asarray(positions), jnp.asarray(edges, jnp.int32),
+            jnp.asarray(knn_idx, jnp.int32), jnp.asarray(sampled, jnp.int32),
+            0.1,
+        )
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.fast
+def test_full_step_parity():
+    """One full update step, injected sample, engine vs oracle."""
+    adj = gr.erdos_renyi_graph(300, 0.03, seed=0)
+    emb = gr.GraphEmbedderTPU(
+        adj, n_components=3, seed=7, verbose=False, sample_size=128,
+        **PARAMS,
+    )
+    edges = emb._edges_np
+    positions = emb.positions.copy()
+
+    rng = np.random.default_rng(3)
+    sampled = rng.permutation(len(edges))[:128]
+
+    expected = oracle.update_step_np(
+        positions.astype(np.float64), edges, sampled, **PARAMS
+    )
+    emb.update_positions(sample_indices=sampled)
+    got = emb.positions
+
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.fast
+def test_multi_step_parity():
+    """Five sequential steps with injected samples stay allclose."""
+    adj = gr.generate_random_regular(n=200, d=4, seed=0)
+    emb = gr.GraphEmbedderTPU(
+        adj, n_components=2, seed=7, verbose=False, sample_size=64, **PARAMS
+    )
+    edges = emb._edges_np
+    expected = emb.positions.astype(np.float64)
+
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        sampled = rng.permutation(len(edges))[:64]
+        expected = oracle.update_step_np(expected, edges, sampled, **PARAMS)
+        emb.update_positions(sample_indices=sampled)
+
+    np.testing.assert_allclose(emb.positions, expected, rtol=5e-3, atol=5e-4)
