@@ -1,0 +1,23 @@
+.PHONY: test test-fast test-comprehensive test-multichip bench lint clean
+
+test:
+	python -m pytest tests/ -x -q
+
+test-fast:
+	python -m pytest tests/ -m "fast and not slow and not tpu" -q
+
+test-comprehensive:
+	python scripts/run_comprehensive_tests.py --phases fast integration multichip examples
+
+test-multichip:
+	python -m pytest tests/ -m multichip -q
+
+bench:
+	python bench.py
+
+lint:
+	python -m pyflakes graphem_rapids_tpu tests benchmarks examples scripts || true
+
+clean:
+	find . -type d -name __pycache__ -exec rm -rf {} +
+	rm -rf .pytest_cache benchmarks/results

@@ -1,0 +1,147 @@
+"""Headline benchmark: layout throughput (edges/s) on the real TPU.
+
+Workload: random 8-regular graph, n=100,000 vertices (E=400,000 edges),
+n_components=3, n_neighbors=15, sample_size=512, 50 layout iterations —
+the BASELINE.json config-3 tier (100K-vertex graph, the reference's
+"cuVS territory" lower bound) with the reference benchmark's default force
+parameters (reference graphem_rapids/benchmark.py:18-19).
+
+Baseline: the reference's own PyTorch-CPU engine measured on this host at
+the IDENTICAL workload (n=100K, E=400K, d=3, same force params,
+sample_size=512, n_neighbors=15, warm iterations):
+
+    51,788 edges/s  (7.724 s/iter, measured 2026-08-17 via
+    /root/reference GraphEmbedderPyTorch with display/scoring deps stubbed)
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+
+Run `python bench.py --calibrate` to re-measure the reference baseline on
+the current host (takes ~3 min; requires /root/reference).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("GRAPHEM_RAPIDS_QUIET", "true")
+
+REFERENCE_CPU_EDGES_PER_SEC = 51_788.0
+
+N_VERTICES = 100_000
+DEGREE = 8
+DIM = 3
+ITERS = 50
+FORCE_PARAMS = dict(
+    L_min=10.0, k_attr=0.5, k_inter=0.1, n_neighbors=15, sample_size=512
+)
+
+
+def build_graph():
+    import networkx as nx
+    import scipy.sparse as sp
+
+    G = nx.random_regular_graph(DEGREE, N_VERTICES, seed=0)
+    return sp.csr_matrix(nx.adjacency_matrix(G, dtype=int))
+
+
+def run_tpu_bench(knn_strategy="auto"):
+    import jax
+
+    import graphem_rapids_tpu as gr
+
+    adj = build_graph()
+    E = adj.nnz // 2
+
+    emb = gr.GraphEmbedderTPU(
+        adj, n_components=DIM, seed=0, verbose=False,
+        knn_strategy=knn_strategy, **FORCE_PARAMS,
+    )
+    # Warm up: compile the fused multi-step blocks.
+    emb.run_layout(num_iterations=2, block_size=10)
+    emb.run_layout(num_iterations=10, block_size=10)
+
+    t0 = time.perf_counter()
+    emb.run_layout(num_iterations=ITERS, block_size=10)
+    dt = time.perf_counter() - t0
+
+    import numpy as np
+
+    assert np.isfinite(emb.positions).all(), "non-finite positions"
+    return E * ITERS / dt, dt
+
+
+def calibrate():
+    """Re-measure the reference PyTorch-CPU engine on this host."""
+    import types
+
+    def stub(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    plotly = stub("plotly")
+    plotly.graph_objects = stub(
+        "plotly.graph_objects", Scatter=object, Scatter3d=object,
+        Figure=object,
+    )
+    plotly.express = stub("plotly.express", scatter=lambda *a, **k: None)
+    stub("ndlib")
+    stub("ndlib.models")
+    stub("ndlib.models.ModelConfig", Configuration=object)
+    stub("ndlib.models.epidemics", IndependentCascadesModel=object)
+
+    class _Logger:
+        def __getattr__(self, k):
+            return lambda *a, **kw: None
+
+    stub("loguru", logger=_Logger())
+
+    sys.path.insert(0, "/root/reference")
+    from graphem_rapids.backends.embedder_pytorch import GraphEmbedderPyTorch
+
+    adj = build_graph()
+    E = adj.nnz // 2
+    emb = GraphEmbedderPyTorch(
+        adj, n_components=DIM, device="cpu", verbose=False, seed=0,
+        **FORCE_PARAMS,
+    )
+    for _ in range(2):
+        emb.update_positions()
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        emb.update_positions()
+    dt = time.perf_counter() - t0
+    print(f"reference pytorch-cpu: {dt / iters:.3f}s/iter, "
+          f"edges/s = {E * iters / dt:,.0f}", file=sys.stderr)
+    return E * iters / dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--calibrate", action="store_true",
+                        help="re-measure the reference CPU baseline")
+    parser.add_argument("--strategy", default="auto",
+                        help="kNN strategy (auto/exact/chunked/approx/pallas)")
+    args = parser.parse_args()
+
+    baseline = REFERENCE_CPU_EDGES_PER_SEC
+    if args.calibrate:
+        baseline = calibrate()
+
+    edges_per_sec, dt = run_tpu_bench(args.strategy)
+    print(json.dumps({
+        "metric": "layout_edges_per_sec_100k_vertices_50_iters",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

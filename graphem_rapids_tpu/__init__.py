@@ -14,6 +14,31 @@ influence, visualization, datasets, benchmarks.
 
 import os
 
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (TPU layout-step compiles are
+    10-60s; caching makes repeat invocations start warm). Respects an
+    existing user configuration; override dir with GRAPHEM_CACHE_DIR."""
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.environ.get(
+                "GRAPHEM_CACHE_DIR",
+                os.path.join(os.path.expanduser("~"), ".cache",
+                             "graphem_rapids_tpu", "jax"),
+            )
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from .benchmark import (
     benchmark_correlations,
     run_benchmark,

@@ -103,7 +103,8 @@ def generate_scale_free(n=100, alpha=0.41, beta=0.54, gamma=0.05,
     """Directed scale-free graph, symmetrized with self-loops removed."""
     G = nx.scale_free_graph(n, alpha, beta, gamma, delta_in, delta_out,
                             seed=seed)
-    G = G.to_undirected()
+    # collapse the MultiDiGraph to a simple undirected graph (binary edges)
+    G = nx.Graph(G.to_undirected())
     G.remove_edges_from(nx.selfloop_edges(G))
     return _nx_to_sparse_adjacency(G)
 

@@ -32,9 +32,14 @@ def _normalized_laplacian(adjacency):
     return _csgraph_laplacian(A, normed=True)
 
 
-def _spectral_scipy(L, n_components):
+def _spectral_scipy(L, n_components, seed=None):
     k = n_components + 1
-    _, eigenvectors = spla.eigsh(L, k, which="SM")
+    # Deterministic ARPACK start vector: eigenvector signs (and thus the
+    # embedding's reflection class) become reproducible for a given seed.
+    v0 = np.random.default_rng(0 if seed is None else seed).standard_normal(
+        L.shape[0]
+    )
+    _, eigenvectors = spla.eigsh(L, k, which="SM", v0=v0)
     return eigenvectors[:, 1:k]
 
 
@@ -95,7 +100,7 @@ def spectral_init(adjacency, n_components, method="auto", seed=None,
             method = "scipy"
 
     try:
-        return _spectral_scipy(L, n_components).astype(np.float32)
+        return _spectral_scipy(L, n_components, seed).astype(np.float32)
     except Exception as e:
         logger.warning("Eigendecomposition failed: %s", e)
         return (rng.standard_normal((n, n_components)) * 0.1).astype(np.float32)

@@ -1,0 +1,87 @@
+"""ShardedGraphEmbedder — the multi-chip tier of the engine.
+
+Same public surface as GraphEmbedderTPU (run_layout / update_positions /
+positions / display_layout) so the factory can swap it in transparently for
+100K+ vertex graphs on multi-device meshes (the role the cuVS backend plays
+in the reference, re-cast as a mesh tier — SURVEY.md §7.1.2).
+"""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.embedder import GraphEmbedderTPU
+from ..parallel.mesh import default_mesh
+from ..parallel.sharded_step import build_sharded_step, pad_edges
+
+logger = logging.getLogger(__name__)
+
+
+class ShardedGraphEmbedder(GraphEmbedderTPU):
+    """Edge-partitioned embedder over a jax.sharding.Mesh.
+
+    Inherits all validation/init/toolkit behavior from the single-chip
+    engine and replaces the layout step with the shard_map version.
+    """
+
+    def __init__(self, adjacency, n_components=2, mesh=None, **kwargs):
+        self.mesh = mesh if mesh is not None else default_mesh()
+        self._n_mesh_devices = int(
+            np.prod(list(self.mesh.shape.values()))
+        )
+        super().__init__(adjacency, n_components=n_components, **kwargs)
+
+    def _resolved_strategy(self):
+        return "sharded"
+
+    def _build_step(self):
+        edges_p, valid = pad_edges(self._edges_np, self._n_mesh_devices)
+        self._edges_padded = jnp.asarray(edges_p)
+        self._valid = jnp.asarray(valid)
+
+        step, multi_step = build_sharded_step(
+            self.mesh,
+            self.n,
+            self.n_edges,
+            n_components=self.n_components,
+            k_attr=self.k_attr,
+            L_min=self.L_min,
+            k_inter=self.k_inter,
+            n_neighbors=self.n_neighbors,
+            sample_size=self.sample_size,
+        )
+
+        def bound_step(positions, key):
+            return step(positions, self._edges_padded, self._valid, key)
+
+        def bound_multi(positions, key, num_steps):
+            return multi_step(
+                positions, self._edges_padded, self._valid, key,
+                num_steps=num_steps,
+            )
+
+        self._multi_step = bound_multi
+        # Parity hook: single-chip raw step on the same math (used by tests
+        # for 1-chip vs N-chip equivalence).
+        self._raw_step = None
+        return bound_step
+
+    def update_positions(self, sample_indices=None):
+        if self.n_edges == 0:
+            return
+        if sample_indices is not None:
+            raise NotImplementedError(
+                "sample injection is a single-chip parity hook; use "
+                "GraphEmbedderTPU for layer-by-layer parity runs"
+            )
+        self._positions, self._key = self._step(self._positions, self._key)
+        self._iteration += 1
+
+    def __repr__(self):
+        return (
+            f"ShardedGraphEmbedder(n_vertices={self.n}, "
+            f"n_components={self.n_components}, "
+            f"mesh={dict(self.mesh.shape)})"
+        )

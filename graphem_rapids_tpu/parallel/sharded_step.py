@@ -1,0 +1,143 @@
+"""Edge-partitioned layout step under shard_map.
+
+Parallel decomposition (SURVEY.md §2.4 "new first-class components"):
+
+- The COO edge list is padded to a multiple of the mesh size and each
+  device owns one contiguous shard. Spring forces are a LOCAL sorted-ish
+  segment-sum over the shard followed by one psum of the (n, d) force
+  accumulator — the all-reduce of boundary-vertex contributions.
+- kNN reference tiles are the device-local edge midpoints; every device
+  computes a local top-(k+1) against the (replicated, cheap) sampled query
+  midpoints, then an all_gather + exact merge produces the global neighbor
+  set. This shards the O(S * E * d) distance pass — the dominant cost —
+  across the mesh.
+- Intersection repulsion on the merged (S * k) candidate set is O(S * k)
+  and computed redundantly on every device (cheaper than communicating
+  it), keeping positions bitwise in sync across the mesh.
+
+Vertex positions are replicated: at the 1M x 4 target that is ~16 MB —
+far below per-chip HBM — while the sharded terms are the ones that scale
+with E. One psum + one all_gather per iteration ride the ICI.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.forces import intersection_forces
+from ..ops.knn import squared_distances
+from .mesh import EDGE_AXIS
+
+EPS = 1e-6
+P = jax.sharding.PartitionSpec
+
+
+def pad_edges(edges_np, n_devices):
+    """Pad the edge list to a device-divisible length.
+
+    Padded rows are (0, 0) with weight 0: their spring force is identically
+    zero and their midpoint is pushed to +LARGE so they can never appear as
+    kNN candidates.
+    """
+    E = len(edges_np)
+    E_pad = ((E + n_devices - 1) // n_devices) * n_devices
+    edges_p = np.zeros((E_pad, 2), np.int32)
+    edges_p[:E] = edges_np
+    valid = np.zeros(E_pad, np.float32)
+    valid[:E] = 1.0
+    return edges_p, valid
+
+
+def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
+                       n_neighbors, sample_size, axis_name=EDGE_AXIS):
+    """Build the jitted multi-chip update step.
+
+    Returns step(positions, edges_padded, valid, key) -> (positions, key),
+    where edges_padded/valid are REPLICATED host-prepared arrays (the int32
+    edge list is tiny relative to the sharded distance work) and the
+    function internally slices the per-device shard by axis index.
+    """
+    n_devices = int(np.prod(list(mesh.shape.values())))
+    E_pad_total = ((E + n_devices - 1) // n_devices) * n_devices
+    E_loc = E_pad_total // n_devices
+    S = min(sample_size, E)
+    k = n_neighbors
+
+    def sharded_body(positions, edges_full, valid_full, key):
+        i = jax.lax.axis_index(axis_name)
+
+        # ---- local edge shard --------------------------------------- #
+        edges_loc = jax.lax.dynamic_slice(
+            edges_full, (i * E_loc, 0), (E_loc, 2)
+        )
+        valid_loc = jax.lax.dynamic_slice(valid_full, (i * E_loc,), (E_loc,))
+
+        # ---- spring forces: local segment-sum + psum ----------------- #
+        p1 = positions[edges_loc[:, 0]]
+        p2 = positions[edges_loc[:, 1]]
+        diff = p2 - p1
+        dist = jnp.linalg.norm(diff, axis=1, keepdims=True) + EPS
+        f = (-k_attr * (dist - L_min)) * (diff / dist)
+        f = f * valid_loc[:, None]
+        vals = jnp.concatenate([f, -f], axis=0)
+        ids = jnp.concatenate([edges_loc[:, 0], edges_loc[:, 1]])
+        spring_partial = jax.ops.segment_sum(vals, ids, num_segments=n)
+        spring = jax.lax.psum(spring_partial, axis_name)
+
+        # ---- sampled query midpoints (identical on all devices) ------ #
+        sampled = jax.random.permutation(key, E)[:S].astype(jnp.int32)
+        q_edges = edges_full[sampled]
+        q_mid = (positions[q_edges[:, 0]] + positions[q_edges[:, 1]]) / 2.0
+
+        # ---- sharded kNN: local top-(k+1), all_gather, exact merge --- #
+        mid_loc = (p1 + p2) / 2.0
+        mid_loc = jnp.where(valid_loc[:, None] > 0, mid_loc, 1e30)
+        d2 = squared_distances(q_mid, mid_loc)          # (S, E_loc) sharded
+        kk = min(k + 1, E_loc)
+        neg, idx_loc = jax.lax.top_k(-d2, kk)
+        idx_glob = idx_loc.astype(jnp.int32) + i * E_loc
+        vals_g = jax.lax.all_gather(-neg, axis_name)     # (ndev, S, kk)
+        idx_g = jax.lax.all_gather(idx_glob, axis_name)
+        vals_m = jnp.moveaxis(vals_g, 0, 1).reshape(S, n_devices * kk)
+        idx_m = jnp.moveaxis(idx_g, 0, 1).reshape(S, n_devices * kk)
+        neg2, pos2 = jax.lax.top_k(-vals_m, k + 1)
+        knn_idx = jnp.take_along_axis(idx_m, pos2, axis=1)[:, 1:]
+
+        # ---- intersection repulsion (replicated, O(S*k)) ------------- #
+        inter = intersection_forces(
+            positions, edges_full, knn_idx, sampled, k_inter
+        )
+
+        # ---- update + normalize (replicated) ------------------------- #
+        new_positions = positions + spring + inter
+        new_positions = new_positions - jnp.mean(
+            new_positions, axis=0, keepdims=True
+        )
+        std = jnp.std(new_positions, axis=0, keepdims=True, ddof=1) + EPS
+        return new_positions / std
+
+    shard_fn = jax.shard_map(
+        sharded_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(positions, edges_padded, valid, key):
+        key, sub = jax.random.split(key)
+        return shard_fn(positions, edges_padded, valid, sub), key
+
+    @partial(jax.jit, static_argnames=("num_steps",))
+    def multi_step(positions, edges_padded, valid, key, num_steps):
+        def body(_, carry):
+            positions, key = carry
+            key, sub = jax.random.split(key)
+            return shard_fn(positions, edges_padded, valid, sub), key
+
+        return jax.lax.fori_loop(0, num_steps, body, (positions, key))
+
+    return step, multi_step

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Comprehensive test runner (reference scripts/run_comprehensive_tests.py).
+
+Phases: fast -> integration -> multichip -> slow -> tpu (opt-in) ->
+examples smoke. Supports pytest-xdist parallelism and a coverage gate.
+"""
+
+import argparse
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+PHASES = [
+    ("fast", ["-m", "fast", "-q"]),
+    ("integration", ["-m", "integration", "-q"]),
+    ("multichip", ["-m", "multichip", "-q"]),
+    ("slow", ["-m", "slow", "-q"]),
+]
+
+
+def run_pytest(extra, parallel=False, coverage=False):
+    cmd = [sys.executable, "-m", "pytest", "tests/"] + extra
+    if parallel:
+        cmd += ["-n", "auto"]
+    if coverage:
+        cmd += ["--cov=graphem_rapids_tpu", "--cov-fail-under=80"]
+    print("$", " ".join(cmd), flush=True)
+    return subprocess.run(cmd, cwd=REPO).returncode
+
+
+def run_examples_smoke():
+    ok = 0
+    for example in sorted((REPO / "examples").glob("*.py")):
+        print(f"$ python {example.name} --smoke", flush=True)
+        rc = subprocess.run(
+            [sys.executable, str(example), "--smoke"], cwd=REPO
+        ).returncode
+        ok |= rc
+    return ok
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--phases", nargs="+",
+                        default=["fast", "integration", "multichip"],
+                        help="phases to run (also: slow, tpu, examples)")
+    parser.add_argument("--parallel", action="store_true",
+                        help="pytest-xdist -n auto")
+    parser.add_argument("--coverage", action="store_true",
+                        help="enforce --cov-fail-under=80")
+    args = parser.parse_args()
+
+    results = {}
+    t0 = time.time()
+    for name, extra in PHASES:
+        if name not in args.phases:
+            continue
+        results[name] = run_pytest(extra, args.parallel, args.coverage)
+    if "tpu" in args.phases:
+        results["tpu"] = run_pytest(["-m", "tpu", "-q"])
+    if "examples" in args.phases:
+        results["examples"] = run_examples_smoke()
+
+    print(f"\n{'phase':<14} status")
+    failed = False
+    for name, rc in results.items():
+        status = "PASS" if rc == 0 else ("NO TESTS" if rc == 5 else "FAIL")
+        failed |= rc not in (0, 5)
+        print(f"{name:<14} {status}")
+    print(f"total: {time.time() - t0:.1f}s")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Strategy-selection tests (mirror of reference
+tests/test_backend_selection.py: decision tree under mocked hardware,
+env-var config, complexity-score monotonicity, validation)."""
+
+import os
+from unittest import mock
+
+import pytest
+
+from graphem_rapids_tpu.utils.backend_selection import (
+    BackendConfig,
+    get_data_complexity_score,
+    get_default_config,
+    get_optimal_backend,
+    estimate_memory_usage,
+)
+
+
+@pytest.mark.fast
+class TestBackendConfig:
+    def test_valid(self):
+        c = BackendConfig(n_vertices=1000, n_components=3)
+        assert c.n_vertices == 1000
+
+    def test_invalid_vertices(self):
+        with pytest.raises(ValueError):
+            BackendConfig(n_vertices=0)
+
+    def test_invalid_components(self):
+        with pytest.raises(ValueError):
+            BackendConfig(n_vertices=10, n_components=-1)
+
+    def test_invalid_backend(self):
+        with pytest.raises(ValueError):
+            BackendConfig(n_vertices=10, force_backend="nope")
+
+    def test_legacy_aliases_resolve(self):
+        c = BackendConfig(n_vertices=10, force_backend="cuvs")
+        assert c.force_backend == "pallas"
+        c = BackendConfig(n_vertices=10, force_backend="cpu")
+        assert c.force_backend == "chunked"
+        c = BackendConfig(n_vertices=10, force_backend="pytorch")
+        assert c.force_backend == "auto"
+
+
+@pytest.mark.fast
+class TestComplexityScore:
+    def test_range(self):
+        assert 0.0 <= get_data_complexity_score(100, 2) <= 1.0
+        assert 0.0 <= get_data_complexity_score(10**7, 100) <= 1.0
+
+    def test_monotone_in_vertices(self):
+        scores = [get_data_complexity_score(n, 3)
+                  for n in (100, 10_000, 1_000_000, 10_000_000)]
+        assert scores == sorted(scores)
+
+    def test_monotone_in_components(self):
+        scores = [get_data_complexity_score(1000, d) for d in (2, 5, 20)]
+        assert scores == sorted(scores)
+
+
+@pytest.mark.fast
+class TestDecisionTree:
+    """Hardware mocked, like the reference's availability-probe patches
+    (test_backend_selection.py:222-282)."""
+
+    def _config(self, n, **kw):
+        return BackendConfig(n_vertices=n, n_components=3, **kw)
+
+    def test_force_wins(self):
+        c = self._config(100, force_backend="pallas")
+        assert get_optimal_backend(c) == "pallas"
+
+    def test_small_graph_exact(self):
+        assert get_optimal_backend(self._config(500)) == "exact"
+
+    @mock.patch(
+        "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
+        return_value=True,
+    )
+    def test_medium_graph_tpu_pallas(self, _):
+        c = self._config(50_000)
+        c.mesh_devices = 1
+        assert get_optimal_backend(c) == "pallas"
+
+    @mock.patch(
+        "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
+        return_value=False,
+    )
+    def test_medium_graph_cpu_chunked(self, _):
+        c = self._config(50_000)
+        c.mesh_devices = 1
+        assert get_optimal_backend(c) == "chunked"
+
+    @mock.patch(
+        "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
+        return_value=True,
+    )
+    def test_large_graph_multidevice_sharded(self, _):
+        c = self._config(500_000)
+        c.mesh_devices = 8
+        assert get_optimal_backend(c) == "sharded"
+
+    @mock.patch(
+        "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
+        return_value=True,
+    )
+    def test_large_graph_single_device_pallas(self, _):
+        c = self._config(500_000)
+        c.mesh_devices = 1
+        assert get_optimal_backend(c) == "pallas"
+
+    @mock.patch(
+        "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
+        return_value=True,
+    )
+    def test_memory_limit_forces_chunked(self, _):
+        c = self._config(50_000, memory_limit=0.000001)
+        c.mesh_devices = 1
+        assert get_optimal_backend(c) == "chunked"
+
+    def test_prefer_tpu_false(self):
+        c = self._config(50_000, prefer_tpu=False)
+        c.mesh_devices = 1
+        assert get_optimal_backend(c) in ("chunked", "approx")
+
+
+@pytest.mark.fast
+class TestEnvConfig:
+    def test_env_backend(self):
+        with mock.patch.dict(os.environ, {"GRAPHEM_BACKEND": "pallas"}):
+            c = get_default_config(1000)
+            assert c.force_backend == "pallas"
+
+    def test_env_memory_limit(self):
+        with mock.patch.dict(os.environ, {"GRAPHEM_MEMORY_LIMIT": "2.5"}):
+            c = get_default_config(1000)
+            assert c.memory_limit == 2.5
+
+    def test_env_prefer(self):
+        with mock.patch.dict(os.environ, {"GRAPHEM_PREFER_TPU": "false"}):
+            assert get_default_config(1000).prefer_tpu is False
+        with mock.patch.dict(os.environ, {"GRAPHEM_PREFER_GPU": "false"},
+                             clear=False):
+            os.environ.pop("GRAPHEM_PREFER_TPU", None)
+            assert get_default_config(1000).prefer_tpu is False
+
+    def test_env_verbose(self):
+        with mock.patch.dict(os.environ, {"GRAPHEM_VERBOSE": "true"}):
+            assert get_default_config(1000).verbose is True
+
+
+@pytest.mark.fast
+class TestMemoryEstimate:
+    def test_positive_and_monotone(self):
+        small = estimate_memory_usage(1000, 3)
+        big = estimate_memory_usage(1_000_000, 3)
+        assert 0 < small < big

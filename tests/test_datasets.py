@@ -1,0 +1,120 @@
+"""Dataset loader tests — parsing/symmetrization logic on local fixtures
+(downloads never run in CI; the reference never tests them either)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from graphem_rapids_tpu.datasets import (
+    SNAPDataset,
+    NetworkRepositoryDataset,
+    _parse_edge_text,
+    list_available_datasets,
+    load_dataset,
+    load_dataset_as_adjacency,
+    symmetrize_edges,
+)
+
+
+@pytest.mark.fast
+def test_registry_contents():
+    datasets = list_available_datasets()
+    # the reference registers 8 SNAP + 5 netrepo + 1 semantic scholar
+    assert len([k for k in datasets if k.startswith("snap-")]) == 8
+    assert len([k for k in datasets if k.startswith("netrepo-")]) == 5
+    assert "snap-facebook_combined" in datasets
+    assert "netrepo-soc-hamsterster" in datasets
+    assert "semanticscholar-s2-CS" in datasets
+
+
+@pytest.mark.fast
+def test_unknown_dataset_raises():
+    with pytest.raises(ValueError, match="Unknown dataset"):
+        load_dataset("no-such-dataset")
+    with pytest.raises(ValueError, match="Unknown SNAP"):
+        SNAPDataset("no-such")
+    with pytest.raises(ValueError, match="Unknown Network Repository"):
+        NetworkRepositoryDataset("no-such")
+
+
+@pytest.mark.fast
+def test_parse_edge_text(tmp_path):
+    f = tmp_path / "edges.txt"
+    f.write_text("# comment\n0 1\n1 2\n\n2 3 extra\n")
+    edges = _parse_edge_text(f)
+    assert edges.tolist() == [[0, 1], [1, 2], [2, 3]]
+
+
+@pytest.mark.fast
+def test_parse_mtx_style(tmp_path):
+    f = tmp_path / "graph.mtx"
+    f.write_text("%%MatrixMarket matrix coordinate\n% comment\n4 4 3\n"
+                 "1 2\n2 3\n3 4\n")
+    edges = _parse_edge_text(f, one_based=True, skip_header=True)
+    assert edges.tolist() == [[0, 1], [1, 2], [2, 3]]
+
+
+@pytest.mark.fast
+def test_symmetrize_edges():
+    edges = np.array([[1, 0], [0, 1], [2, 1], [3, 3]])
+    sym = symmetrize_edges(edges)
+    assert sym.tolist() == [[0, 1], [1, 2]]
+
+
+@pytest.mark.fast
+def test_snap_loader_with_local_cache(tmp_path, monkeypatch):
+    """Full load path against a fabricated local cache — no network."""
+    monkeypatch.setenv("GRAPHEM_DATA_DIR", str(tmp_path))
+    d = tmp_path / "snap-ca-GrQc"
+    d.mkdir()
+    (d / "ca-GrQc.txt").write_text("# FromNodeId ToNodeId\n0 1\n1 0\n1 2\n")
+
+    vertices, edges = load_dataset("snap-ca-GrQc")
+    assert edges.tolist() == [[0, 1], [1, 2]]
+    assert vertices.tolist() == [0, 1, 2]
+
+
+@pytest.mark.fast
+def test_load_dataset_as_adjacency(tmp_path, monkeypatch):
+    monkeypatch.setenv("GRAPHEM_DATA_DIR", str(tmp_path))
+    d = tmp_path / "snap-ca-GrQc"
+    d.mkdir()
+    # node ids with gaps: adjacency must be compacted
+    (d / "ca-GrQc.txt").write_text("5 10\n10 20\n")
+    adj = load_dataset_as_adjacency("snap-ca-GrQc")
+    assert adj.shape == (3, 3)
+    assert adj.nnz == 4  # two undirected edges
+
+
+@pytest.mark.fast
+def test_bare_name_routing(tmp_path, monkeypatch):
+    monkeypatch.setenv("GRAPHEM_DATA_DIR", str(tmp_path))
+    d = tmp_path / "snap-facebook_combined"
+    d.mkdir()
+    (d / "facebook_combined.txt").write_text("0 1\n")
+    vertices, edges = load_dataset("facebook_combined")
+    assert len(edges) == 1
+
+
+@pytest.mark.fast
+def test_netrepo_mtx_loading(tmp_path, monkeypatch):
+    monkeypatch.setenv("GRAPHEM_DATA_DIR", str(tmp_path))
+    d = tmp_path / "netrepo-ia-reality"
+    d.mkdir()
+    (d / "ia-reality.mtx").write_text(
+        "%%MatrixMarket\n3 3 2\n1 2\n2 3\n"
+    )
+    vertices, edges = load_dataset("netrepo-ia-reality")
+    assert edges.tolist() == [[0, 1], [1, 2]]
+
+
+@pytest.mark.fast
+def test_gz_extraction(tmp_path):
+    from graphem_rapids_tpu.datasets import extract_file
+
+    src = tmp_path / "edges.txt.gz"
+    with gzip.open(src, "wb") as f:
+        f.write(b"0 1\n")
+    extract_file(src)
+    assert (tmp_path / "edges.txt").read_text() == "0 1\n"

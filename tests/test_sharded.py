@@ -1,0 +1,122 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh.
+
+The reference has nothing distributed to test (SURVEY.md §2.4); these are
+the new-capability tests: sharded step correctness vs the single-chip
+engine (1-vs-N allclose, BASELINE.md) and mesh-size robustness.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import graphem_rapids_tpu as gr
+from graphem_rapids_tpu.parallel import (
+    ShardedGraphEmbedder,
+    build_sharded_step,
+    make_mesh,
+)
+from graphem_rapids_tpu.parallel.sharded_step import pad_edges
+
+pytestmark = pytest.mark.multichip
+
+
+@pytest.mark.fast
+def test_cpu_mesh_has_8_devices():
+    assert jax.device_count() >= 8
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_sharded_layout_runs_and_is_finite(n_devices):
+    adj = gr.erdos_renyi_graph(150, 0.05, seed=0)
+    mesh = make_mesh(n_devices)
+    emb = ShardedGraphEmbedder(
+        adj, n_components=3, mesh=mesh, seed=1, verbose=False,
+        sample_size=64,
+    )
+    pos = emb.run_layout(num_iterations=5)
+    assert pos.shape == (150, 3)
+    assert np.isfinite(pos).all()
+
+
+@pytest.mark.fast
+def test_sharded_matches_single_chip_spring_only():
+    """With k_inter=0 (no sampling randomness in the force), the sharded
+    and single-chip engines must produce allclose trajectories."""
+    adj = gr.generate_random_regular(n=120, d=4, seed=0)
+
+    single = gr.GraphEmbedderTPU(
+        adj, n_components=3, seed=5, verbose=False, k_inter=0.0,
+        sample_size=32,
+    )
+    sharded = ShardedGraphEmbedder(
+        adj, n_components=3, mesh=make_mesh(4), seed=5, verbose=False,
+        k_inter=0.0, sample_size=32,
+    )
+    # identical spectral init
+    np.testing.assert_allclose(single.positions, sharded.positions,
+                               rtol=1e-5, atol=1e-6)
+    for _ in range(5):
+        single.update_positions()
+        sharded.update_positions()
+    np.testing.assert_allclose(
+        sharded.positions, single.positions, rtol=1e-3, atol=1e-4
+    )
+
+
+@pytest.mark.fast
+def test_sharded_full_step_parity_with_oracle_sample():
+    """Full sharded step (springs + intersections) vs single-chip engine
+    with the SAME key stream: identical seeds give identical samples, so
+    trajectories must stay allclose."""
+    adj = gr.erdos_renyi_graph(100, 0.08, seed=2)
+    single = gr.GraphEmbedderTPU(
+        adj, n_components=2, seed=9, verbose=False, sample_size=48,
+        n_neighbors=6,
+    )
+    sharded = ShardedGraphEmbedder(
+        adj, n_components=2, mesh=make_mesh(4), seed=9, verbose=False,
+        sample_size=48, n_neighbors=6,
+    )
+    for _ in range(3):
+        single.update_positions()
+        sharded.update_positions()
+    np.testing.assert_allclose(
+        sharded.positions, single.positions, rtol=5e-3, atol=5e-4
+    )
+
+
+@pytest.mark.fast
+def test_pad_edges():
+    edges = np.array([[0, 1], [1, 2], [2, 3]], np.int64)
+    padded, valid = pad_edges(edges, 4)
+    assert padded.shape == (4, 2)
+    assert valid.tolist() == [1.0, 1.0, 1.0, 0.0]
+    padded, valid = pad_edges(edges, 3)
+    assert padded.shape == (3, 2)
+
+
+@pytest.mark.fast
+def test_build_sharded_step_smoke():
+    adj = gr.generate_ba(n=80, m=2, seed=1)
+    rows, cols = adj.nonzero()
+    mask = rows < cols
+    edges = np.column_stack([rows[mask], cols[mask]])
+    mesh = make_mesh(8)
+    step, multi = build_sharded_step(
+        mesh, 80, len(edges), n_components=3, k_attr=0.2, L_min=1.0,
+        k_inter=0.5, n_neighbors=5, sample_size=32,
+    )
+    import jax.numpy as jnp
+
+    edges_p, valid = pad_edges(edges, 8)
+    pos = jnp.asarray(
+        np.random.default_rng(0).standard_normal((80, 3)), jnp.float32
+    )
+    key = jax.random.PRNGKey(0)
+    new_pos, key = step(pos, jnp.asarray(edges_p), jnp.asarray(valid), key)
+    assert np.isfinite(np.asarray(new_pos)).all()
+    (new_pos2, _) = multi(
+        pos, jnp.asarray(edges_p), jnp.asarray(valid), key, num_steps=3
+    )
+    assert np.isfinite(np.asarray(new_pos2)).all()
