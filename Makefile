@@ -1,4 +1,7 @@
-.PHONY: test test-fast test-comprehensive test-multichip bench lint clean
+.PHONY: test test-fast test-comprehensive test-multichip bench lint clean native
+
+native:
+	python setup_native.py
 
 test:
 	python -m pytest tests/ -x -q

@@ -59,8 +59,7 @@ def run_tpu_bench(knn_strategy="auto"):
         adj, n_components=DIM, seed=0, verbose=False,
         knn_strategy=knn_strategy, **FORCE_PARAMS,
     )
-    # Warm up: compile the fused multi-step blocks.
-    emb.run_layout(num_iterations=2, block_size=10)
+    # Warm up: compile the fused 10-step block once and run it warm.
     emb.run_layout(num_iterations=10, block_size=10)
 
     t0 = time.perf_counter()

@@ -77,9 +77,22 @@ def extract_file(filepath, extract_dir=None):
 
 
 def _parse_edge_text(path, comment="#", one_based=False, skip_header=False):
-    """Vectorized whitespace edge-list parser -> (E, 2) int64 array."""
-    with open(path, "r", encoding="utf-8", errors="replace") as f:
-        text = f.read()
+    """Whitespace edge-list parser -> (E, 2) int64 array.
+
+    Fast path: the native C scanner (native/fastgraph.c) reads the raw
+    bytes in one pass. Fallback: the pandas C tokenizer (~50x the
+    reference's per-line Python loop, datasets.py:306-357 there).
+    """
+    from .native import parse_edges_native
+
+    with open(path, "rb") as fb:
+        raw = fb.read()
+    native = parse_edges_native(raw, one_based=one_based,
+                                skip_header=skip_header)
+    if native is not None:
+        return native
+
+    text = raw.decode("utf-8", errors="replace")
     lines = []
     for line in text.splitlines():
         s = line.strip()

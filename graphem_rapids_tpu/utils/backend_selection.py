@@ -141,14 +141,17 @@ def get_optimal_backend(config: BackendConfig):
 
     if n > LARGE_GRAPH_VERTICES and n_devices > 1:
         return "sharded"
+    # approx (one-shot PartialReduce) measured fastest on TPU with ~98%
+    # recall; CPU hosts take the exact blockwise scan. The hand-written
+    # Pallas kernel stays available via force_backend='pallas'.
     if n > LARGE_GRAPH_VERTICES:
-        return "pallas" if has_tpu else "approx"
+        return "approx" if has_tpu else "chunked"
     if n > MEDIUM_GRAPH_VERTICES:
         if config.memory_limit is not None:
             est = estimate_memory_usage(n, config.n_components, "exact")
             if est > config.memory_limit:
                 return "chunked"
-        return "pallas" if has_tpu else "chunked"
+        return "approx" if has_tpu else "chunked"
     return "exact"
 
 

@@ -78,10 +78,10 @@ class TestDecisionTree:
         "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
         return_value=True,
     )
-    def test_medium_graph_tpu_pallas(self, _):
+    def test_medium_graph_tpu_approx(self, _):
         c = self._config(50_000)
         c.mesh_devices = 1
-        assert get_optimal_backend(c) == "pallas"
+        assert get_optimal_backend(c) == "approx"
 
     @mock.patch(
         "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
@@ -105,10 +105,10 @@ class TestDecisionTree:
         "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
         return_value=True,
     )
-    def test_large_graph_single_device_pallas(self, _):
+    def test_large_graph_single_device_approx(self, _):
         c = self._config(500_000)
         c.mesh_devices = 1
-        assert get_optimal_backend(c) == "pallas"
+        assert get_optimal_backend(c) == "approx"
 
     @mock.patch(
         "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",

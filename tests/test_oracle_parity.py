@@ -46,6 +46,53 @@ def test_spring_forces_parity():
 
 
 @pytest.mark.fast
+def test_spring_forces_nbtable_parity():
+    """Gather-based neighbor-table aggregation == scatter == oracle."""
+    from graphem_rapids_tpu.ops.forces import (
+        build_neighbor_table,
+        spring_forces_nbtable,
+    )
+    import jax.numpy as jnp
+
+    edges, positions = _setup()
+    expected = oracle.spring_forces_np(positions, edges, 0.5, 10.0)
+    nb = build_neighbor_table(edges, positions.shape[0])
+    overflow = jnp.asarray(nb["overflow"]) if len(nb["overflow"]) else None
+    got = np.asarray(
+        spring_forces_nbtable(jnp.asarray(positions), nb, 0.5, 10.0,
+                              overflow)
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.fast
+def test_spring_forces_nbtable_overflow_path():
+    """Power-law graph with a tiny table cap exercises the COO overflow."""
+    from graphem_rapids_tpu.ops.forces import (
+        build_neighbor_table,
+        spring_forces_nbtable,
+    )
+    import graphem_rapids_tpu as gr
+    import jax.numpy as jnp
+
+    adj = gr.generate_ba(n=200, m=4, seed=0)
+    rows, cols = adj.nonzero()
+    mask = rows < cols
+    edges = np.column_stack([rows[mask], cols[mask]]).astype(np.int64)
+    rng = np.random.default_rng(0)
+    positions = rng.standard_normal((200, 3)).astype(np.float32)
+
+    expected = oracle.spring_forces_np(positions, edges, 0.5, 10.0)
+    nb = build_neighbor_table(edges, 200, cap=3)  # force overflow
+    assert len(nb["overflow"]) > 0
+    got = np.asarray(
+        spring_forces_nbtable(jnp.asarray(positions), nb, 0.5, 10.0,
+                              jnp.asarray(nb["overflow"]))
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.fast
 def test_spring_forces_parity_unsorted_scatter():
     edges, positions = _setup()
     expected = oracle.spring_forces_np(positions, edges, 0.5, 10.0)
