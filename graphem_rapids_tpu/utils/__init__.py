@@ -9,6 +9,7 @@ from .backend_selection import (
     estimate_memory_usage,
     log_backend_selection,
 )
+from .profiling import roofline, time_fn, trace
 from .memory_management import (
     MemoryManager,
     adaptive_batch_size,
@@ -34,4 +35,7 @@ __all__ = [
     "get_device_memory_info",
     "get_optimal_chunk_size",
     "monitor_memory_usage",
+    "roofline",
+    "time_fn",
+    "trace",
 ]
