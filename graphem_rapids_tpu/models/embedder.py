@@ -289,10 +289,10 @@ class GraphEmbedderTPU:
             std = jnp.std(new_positions, axis=0, keepdims=True, ddof=1) + EPS
             return new_positions / std
 
+        from ..ops.sampling import sample_indices
+
         def sample(key):
-            if S < E:
-                return jax.random.permutation(key, E)[:S].astype(jnp.int32)
-            return jnp.arange(E, dtype=jnp.int32)
+            return sample_indices(key, E, S)
 
         @partial(jax.jit, donate_argnums=(0,))
         def step(positions, key):

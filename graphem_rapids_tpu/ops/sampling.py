@@ -1,0 +1,28 @@
+"""Edge-midpoint sampling.
+
+The reference samples without replacement via torch.randperm
+(embedder_pytorch.py:409). A full permutation is a device-wide sort
+(48 ms at E=4M on v5e); for large edge counts we instead take the top-S of
+iid uniforms with the PartialReduce op (26 ms) — exact top-S of iid draws
+is a uniform random S-subset by exchangeability, and approx_max_k's
+position-binned selection keeps per-index marginals uniform (bins are
+equal-sized), which is all the stochastic repulsion sampling needs.
+"""
+
+import jax
+import jax.numpy as jnp
+
+# Below this edge count the permutation sort is cheap and keeps semantics
+# bit-identical to sampling-without-replacement.
+FAST_SAMPLE_MIN_EDGES = 1 << 20
+
+
+def sample_indices(key, n_items, n_samples):
+    """(n_samples,) int32 random subset of range(n_items), no replacement."""
+    if n_samples >= n_items:
+        return jnp.arange(n_items, dtype=jnp.int32)
+    if n_items >= FAST_SAMPLE_MIN_EDGES:
+        u = jax.random.uniform(key, (n_items,))
+        _, idx = jax.lax.approx_max_k(u, n_samples)
+        return idx.astype(jnp.int32)
+    return jax.random.permutation(key, n_items)[:n_samples].astype(jnp.int32)

@@ -87,7 +87,9 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         spring = jax.lax.psum(spring_partial, axis_name)
 
         # ---- sampled query midpoints (identical on all devices) ------ #
-        sampled = jax.random.permutation(key, E)[:S].astype(jnp.int32)
+        from ..ops.sampling import sample_indices
+
+        sampled = sample_indices(key, E, S)
         q_edges = edges_full[sampled]
         q_mid = (positions[q_edges[:, 0]] + positions[q_edges[:, 1]]) / 2.0
 
