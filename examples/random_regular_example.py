@@ -38,8 +38,9 @@ def main(smoke=False):
         radii, cent = embed_and_correlate(n, d, iters)
         from scipy import stats
 
-        rho, _ = stats.spearmanr(radii, cent["degree"])
-        print(f"  d={d}: Spearman(radius, degree) = {rho:.3f}")
+        # degree is constant on a regular graph; correlate with closeness
+        rho, _ = stats.spearmanr(radii, cent["closeness"])
+        print(f"  d={d}: Spearman(radius, closeness) = {rho:.3f}")
 
     if not smoke:
         print("\n=== full correlation matrix (n=500, d=4) ===")

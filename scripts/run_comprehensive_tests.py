@@ -26,7 +26,12 @@ def run_pytest(extra, parallel=False, coverage=False):
     if parallel:
         cmd += ["-n", "auto"]
     if coverage:
-        cmd += ["--cov=graphem_rapids_tpu", "--cov-fail-under=80"]
+        try:
+            import pytest_cov  # noqa: F401
+
+            cmd += ["--cov=graphem_rapids_tpu", "--cov-fail-under=80"]
+        except ImportError:
+            print("pytest-cov not installed; skipping coverage gate")
     print("$", " ".join(cmd), flush=True)
     return subprocess.run(cmd, cwd=REPO).returncode
 
