@@ -48,7 +48,7 @@ def build_graph():
 
 
 def run_tpu_bench(knn_strategy="auto"):
-    import jax
+
 
     import graphem_rapids_tpu as gr
 

@@ -314,10 +314,9 @@ class NetworkRepositoryDataset(DatasetLoader):
             edges = _parse_edge_text(path, one_based=True, skip_header=True)
         else:
             edges = _parse_edge_text(path)
-        if not self.is_directed:
-            edges = symmetrize_edges(edges)
-        else:
-            edges = symmetrize_edges(edges)  # engine consumes undirected i<j
+        # directed sources are symmetrized too: the engine consumes
+        # undirected i<j edge lists (reference datasets.py:339-352)
+        edges = symmetrize_edges(edges)
         vertices = np.unique(edges.flatten())
         return vertices, edges
 

@@ -5,7 +5,7 @@ first two coordinates even for d >= 3 embeddings (reference
 graphem_rapids/backends/embedder_pytorch.py:738-774).
 """
 
-import jax.numpy as jnp
+
 
 
 def _orientation(a, b, c):

@@ -8,7 +8,6 @@ in the reference, re-cast as a mesh tier — SURVEY.md §7.1.2).
 
 import logging
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
