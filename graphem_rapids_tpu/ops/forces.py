@@ -15,7 +15,6 @@ multiplicative 0/1 weight: mathematically identical accumulated forces, no
 recompilation, no dynamic shapes (SURVEY.md §7.1.1).
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -160,7 +159,6 @@ def spring_forces(positions, edges, k_attr, L_min, scatter_plan=None):
     return jax.ops.segment_sum(values, ids, num_segments=positions.shape[0])
 
 
-@partial(jax.jit, static_argnames=("k_inter",))
 def _repulsion_terms(positions, edges_i, edges_j, weight, k_inter):
     p1 = positions[edges_i[:, 0]]
     p2 = positions[edges_i[:, 1]]
