@@ -156,7 +156,9 @@ def get_backend_info():
         "tpu_device_kind": tpu[0].device_kind if tpu else None,
         "device_count": len(devices),
         "pallas_available": True,
-        "recommended_backend": "pallas" if tpu else "chunked",
+        # matches the auto-selection policy: PartialReduce approx tier is
+        # the measured-fastest on TPU (BASELINE.md)
+        "recommended_backend": "approx" if tpu else "chunked",
     }
     return info
 
@@ -218,6 +220,11 @@ def _show_backend_info():  # pragma: no cover - cosmetic
         status.append(f"TPU ✗ ({'/'.join(info['platforms'])})")
     print(f"GraphEm Rapids TPU v{__version__} - {' | '.join(status)}")
     print(f"Recommended strategy: {info['recommended_backend'].upper()}")
+
+
+def backend_info_main():  # pragma: no cover - console entry point
+    """Console-script entry: print backend info and exit 0."""
+    _show_backend_info()
 
 
 if os.environ.get("GRAPHEM_RAPIDS_QUIET", "false").lower() != "true":

@@ -440,6 +440,11 @@ def load_dataset_as_adjacency(dataset_name):
     """Load a dataset directly as a sparse CSR adjacency (compact labels),
     ready for GraphEmbedderTPU / create_graphem."""
     vertices, edges = load_dataset(dataset_name)
+    if len(edges) == 0:
+        raise ValueError(
+            f"Dataset {dataset_name!r} parsed to zero edges — the cached "
+            f"file may be empty or corrupt (cache dir: {get_data_directory()})"
+        )
     remap = -np.ones(int(vertices.max()) + 1, np.int64)
     remap[vertices] = np.arange(len(vertices))
     edges = remap[edges]

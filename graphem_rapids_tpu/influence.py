@@ -104,9 +104,13 @@ def estimated_influence(G, seeds, p=0.1, iterations_count=200, num_sims=64,
 
 
 @partial(jax.jit, static_argnames=("n", "num_sims", "max_iters"))
-def _batched_marginal(src, dst, base_mask, cand_ids, p, key, n, num_sims,
-                      max_iters):
-    """Evaluate IC spread for base_mask + each candidate, all on device."""
+def _batched_marginal(src, dst, base_mask, p, key, n, num_sims, max_iters):
+    """Evaluate IC spread for base_mask + each of the n candidate nodes.
+
+    Always a fixed (n,) candidate sweep (already-selected seeds are masked
+    out by the caller), so the jitted shape never changes across greedy
+    rounds — one compilation for the whole selection.
+    """
 
     def one(args):
         cand, key = args
@@ -117,8 +121,11 @@ def _batched_marginal(src, dst, base_mask, cand_ids, p, key, n, num_sims,
             )
         )
 
-    keys = jax.random.split(key, cand_ids.shape[0])
-    return jax.lax.map(one, (cand_ids, keys))
+    cand_ids = jnp.arange(n, dtype=jnp.int32)
+    keys = jax.random.split(key, n)
+    gains = jax.lax.map(one, (cand_ids, keys))
+    # a node already in the seed set adds nothing; force it out of argmax
+    return jnp.where(base_mask, -jnp.inf, gains)
 
 
 def greedy_seed_selection(G, k, p=0.1, iterations_count=200, num_sims=32,
@@ -141,18 +148,15 @@ def greedy_seed_selection(G, k, p=0.1, iterations_count=200, num_sims=32,
     total_evals = 0
     base_mask = jnp.zeros(n, bool)
     for _ in range(k):
-        cand_ids = np.array(
-            [v for v in range(n) if v not in seeds], np.int32
-        )
         key, sub = jax.random.split(key)
         gains = np.asarray(
             _batched_marginal(
-                src, dst, base_mask, jnp.asarray(cand_ids), float(p), sub,
+                src, dst, base_mask, float(p), sub,
                 int(n), int(num_sims), int(iterations_count),
             )
         )
-        best = int(cand_ids[int(np.argmax(gains))])
+        best = int(np.argmax(gains))
         seeds.append(best)
         base_mask = base_mask.at[best].set(True)
-        total_evals += len(cand_ids) * num_sims
+        total_evals += (n - len(seeds) + 1) * num_sims
     return seeds, total_evals

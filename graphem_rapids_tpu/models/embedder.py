@@ -267,6 +267,12 @@ class GraphEmbedderTPU:
         edges = self.edges
         nb, nb_overflow = self._nb, self._nb_overflow
 
+        # k+1 neighbors are requested (self column dropped, reference :421)
+        # but never more than there are edges — the reference crashes on
+        # graphs with fewer than n_neighbors+1 edges (torch.topk k>size);
+        # we clamp instead.
+        k_eff = min(k + 1, E)
+
         def raw_step(positions, sampled_indices):
             spring = spring_forces_nbtable(
                 positions, nb, k_attr, L_min, nb_overflow
@@ -274,14 +280,18 @@ class GraphEmbedderTPU:
             midpoints = (
                 positions[edges[:, 0]] + positions[edges[:, 1]]
             ) / 2.0
-            knn_idx, _ = knn(
-                midpoints[sampled_indices], midpoints, k + 1,
-                strategy=strategy, chunk_size=chunk,
-            )
-            knn_idx = knn_idx[:, 1:]  # drop self column (reference :421)
-            inter = intersection_forces(
-                positions, edges, knn_idx, sampled_indices, k_inter
-            )
+            if k_eff > 1:
+                knn_idx, _ = knn(
+                    midpoints[sampled_indices], midpoints, k_eff,
+                    strategy=strategy, chunk_size=chunk,
+                )
+                knn_idx = knn_idx[:, 1:]  # drop self column
+                inter = intersection_forces(
+                    positions, edges, knn_idx, sampled_indices, k_inter
+                )
+            else:
+                # a single edge has no neighbor edges to intersect
+                inter = jnp.zeros_like(positions)
             new_positions = positions + spring + inter
             new_positions = new_positions - jnp.mean(
                 new_positions, axis=0, keepdims=True

@@ -9,7 +9,12 @@ from .forces import spring_forces, intersection_forces, build_scatter_plan
 from .intersect import segments_intersect_2d
 from .knn import knn, knn_exact, knn_chunked, knn_approx
 from .laplacian import spectral_init
-from .ic_sim import independent_cascade, estimated_influence
+from .ic_sim import independent_cascade
+from .sampling import sample_indices
+
+# NOTE: ic_sim.estimated_influence (edge-list signature) is intentionally
+# NOT re-exported here — the public scoring API is
+# graphem_rapids_tpu.influence.estimated_influence (graph signature).
 
 __all__ = [
     "spring_forces",
@@ -22,5 +27,5 @@ __all__ = [
     "knn_approx",
     "spectral_init",
     "independent_cascade",
-    "estimated_influence",
+    "sample_indices",
 ]

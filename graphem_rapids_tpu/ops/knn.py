@@ -164,8 +164,8 @@ def knn(queries, refs, k, strategy="auto", chunk_size=DEFAULT_CHUNK):
     if strategy == "pallas":
         from .knn_pallas import knn_pallas  # lazy: pallas import cost
 
-        try:
-            return knn_pallas(queries, refs, k)
-        except Exception:  # pragma: no cover - graceful tier-down, see §5.3
-            return knn_chunked(queries, refs, k, chunk_size)
+        # NOTE: Mosaic compile failures surface at jit-compile time of the
+        # caller, after tracing — a try/except here cannot tier down. The
+        # 'pallas' strategy is opt-in; 'auto' never selects it.
+        return knn_pallas(queries, refs, k)
     raise ValueError(f"Unknown kNN strategy: {strategy!r}")

@@ -25,10 +25,10 @@ logger = logging.getLogger(__name__)
 
 def _normalized_laplacian(adjacency):
     """Symmetrized, binarized normalized Laplacian (reference :351-359)."""
-    A = adjacency + adjacency.transpose()
+    if not sp.issparse(adjacency):
+        adjacency = sp.csr_matrix(adjacency)
+    A = sp.csr_matrix(adjacency + adjacency.transpose())
     A.data = np.ones_like(A.data)
-    if hasattr(A, "toarray"):
-        A = sp.csr_matrix(A)
     return _csgraph_laplacian(A, normed=True)
 
 

@@ -104,13 +104,19 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         idx_g = jax.lax.all_gather(idx_glob, axis_name)
         vals_m = jnp.moveaxis(vals_g, 0, 1).reshape(S, n_devices * kk)
         idx_m = jnp.moveaxis(idx_g, 0, 1).reshape(S, n_devices * kk)
-        neg2, pos2 = jax.lax.top_k(-vals_m, k + 1)
+        # the merged candidate pool can be narrower than k+1 on tiny
+        # shards (n_devices * kk columns); clamp like the single-chip tier
+        k_merge = min(k + 1, n_devices * kk)
+        neg2, pos2 = jax.lax.top_k(-vals_m, k_merge)
         knn_idx = jnp.take_along_axis(idx_m, pos2, axis=1)[:, 1:]
 
         # ---- intersection repulsion (replicated, O(S*k)) ------------- #
-        inter = intersection_forces(
-            positions, edges_full, knn_idx, sampled, k_inter
-        )
+        if knn_idx.shape[1] > 0:
+            inter = intersection_forces(
+                positions, edges_full, knn_idx, sampled, k_inter
+            )
+        else:
+            inter = jnp.zeros_like(positions)
 
         # ---- update + normalize (replicated) ------------------------- #
         new_positions = positions + spring + inter

@@ -56,7 +56,8 @@ class BackendConfig:
     prefer_tpu: bool = True
     memory_limit: float | None = None  # GB
     verbose: bool = False
-    mesh_devices: int = field(default=1)
+    # None = auto-detect the local device count at decision time
+    mesh_devices: int | None = field(default=None)
 
     def __post_init__(self):
         if self.n_vertices <= 0:
@@ -137,7 +138,11 @@ def get_optimal_backend(config: BackendConfig):
 
     n = config.n_vertices
     has_tpu = check_tpu_availability() and config.prefer_tpu
-    n_devices = config.mesh_devices or check_device_count()
+    n_devices = (
+        config.mesh_devices
+        if config.mesh_devices is not None
+        else check_device_count()
+    )
 
     if n > LARGE_GRAPH_VERTICES and n_devices > 1:
         return "sharded"
