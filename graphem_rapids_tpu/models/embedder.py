@@ -304,6 +304,10 @@ class GraphEmbedderTPU:
         def sample(key):
             return sample_indices(key, E, S)
 
+        # NOTE: num_steps stays STATIC. A traced (dynamic) trip count would
+        # compile once for all block sizes, but the resulting while-loop
+        # program measured >25 min to compile at the 100K tier on this
+        # toolchain vs ~3 min for the static fori — a bad trade.
         @partial(jax.jit, donate_argnums=(0,))
         def step(positions, key):
             key, sub = jax.random.split(key)

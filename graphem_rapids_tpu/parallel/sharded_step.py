@@ -20,6 +20,7 @@ far below per-chip HBM — while the sharded terms are the ones that scale
 with E. One psum + one all_gather per iteration ride the ICI.
 """
 
+
 from functools import partial
 
 import jax
@@ -134,6 +135,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         check_vma=False,
     )
 
+    # num_steps stays static — see models/embedder.py note on dynamic trip
+    # counts (compile-time explosion on this toolchain).
     @jax.jit
     def step(positions, edges_padded, valid, key):
         key, sub = jax.random.split(key)
