@@ -59,11 +59,14 @@ def run_tpu_bench(knn_strategy="auto"):
         adj, n_components=DIM, seed=0, verbose=False,
         knn_strategy=knn_strategy, **FORCE_PARAMS,
     )
-    # Warm up: compile the fused 10-step block once and run it warm.
-    emb.run_layout(num_iterations=10, block_size=10)
+    # Warm up: compile the fused 50-step block once and run it warm. One
+    # dispatch for all 50 iterations — each dispatch through the remote
+    # tunnel costs ~26 ms of round-trip latency, which at block_size=10
+    # added ~2.6 ms/iter of pure dispatch overhead to the measurement.
+    emb.run_layout(num_iterations=ITERS, block_size=ITERS)
 
     t0 = time.perf_counter()
-    emb.run_layout(num_iterations=ITERS, block_size=10)
+    emb.run_layout(num_iterations=ITERS, block_size=ITERS)
     dt = time.perf_counter() - t0
 
     import numpy as np

@@ -32,6 +32,8 @@ import scipy.sparse as sp
 from ..ops.forces import (
     build_neighbor_table,
     intersection_forces,
+    midpoint_refs_from_gathered,
+    spring_forces_from_gathered,
     spring_forces_nbtable,
 )
 from ..ops.knn import knn
@@ -73,8 +75,22 @@ class GraphEmbedderTPU:
         when None (utils/memory_management.py).
     knn_strategy : str, default='auto'
         'auto' | 'exact' | 'chunked' | 'approx' | 'pallas'.
+    knn_compute_dtype : optional dtype
+        Distance compute dtype for the approx kNN tier. None (default)
+        auto-selects bfloat16 on TPU — the (S, E) distance traffic
+        dominates the approx tier and bf16 measured ~1 ms/iter faster at
+        the 100K tier with no measurable Spearman-quality change
+        (experiments/quality_bf16_fused.py). Pass jnp.float32 to force
+        full-precision distances.
+    knn_recall_target : float, default=0.95
+        approx_min_k recall target for the approx tier.
     init : str, default='auto'
         Spectral-init tier: 'auto' | 'scipy' | 'lobpcg' | 'random'.
+    fused_midpoints : bool, optional
+        Build the kNN midpoint reference set from the spring neighbor-table
+        gather (no second edge gather) instead of gathering edge endpoints.
+        None (default) auto-enables it for the approx strategy when the
+        slot-table padding overhead is bounded.
     memory_efficient : bool, default=True
         Kept for API compatibility; chunked strategies are always available.
     verbose : bool, default=True
@@ -99,7 +115,10 @@ class GraphEmbedderTPU:
         sample_size=256,
         batch_size=None,
         knn_strategy="auto",
+        knn_compute_dtype=None,
+        knn_recall_target=0.95,
         init="auto",
+        fused_midpoints=None,
         memory_efficient=True,
         verbose=True,
         logger_instance=None,
@@ -125,6 +144,9 @@ class GraphEmbedderTPU:
         self.verbose = verbose
         self.seed = seed
         self.knn_strategy = knn_strategy
+        self.knn_compute_dtype = knn_compute_dtype
+        self.knn_recall_target = float(knn_recall_target)
+        self.fused_midpoints = fused_midpoints
         self._iteration = 0
 
         if self.n_components <= 0:
@@ -273,19 +295,56 @@ class GraphEmbedderTPU:
         # we clamp instead.
         k_eff = min(k + 1, E)
 
-        def raw_step(positions, sampled_indices):
-            spring = spring_forces_nbtable(
-                positions, nb, k_attr, L_min, nb_overflow
+        # Fused-gather path: reuse the spring neighbor-table gather as the
+        # kNN midpoint reference set (ops/forces.py
+        # midpoint_refs_from_gathered) — removes the step's second
+        # full-edge HBM gather. Worth it only while the slot-table padding
+        # overhead is bounded (near-regular graphs); heavily skewed tables
+        # would inflate the kNN reference count past the gather saving.
+        knn_dtype = self.knn_compute_dtype
+        if (knn_dtype is None and strategy == "approx"
+                and self.device.platform == "tpu"):
+            knn_dtype = jnp.bfloat16
+        recall = self.knn_recall_target
+        n_ref_slots = int(nb["ref_edge"].shape[0])
+        overflow_lt = (
+            jnp.asarray(nb["overflow_lt"])
+            if len(nb["overflow_lt"]) else None
+        )
+        if self.fused_midpoints is None:
+            fused_refs = (
+                strategy == "approx" and E > 0 and n_ref_slots <= 4 * E
             )
-            midpoints = (
-                positions[edges[:, 0]] + positions[edges[:, 1]]
-            ) / 2.0
+        else:
+            fused_refs = bool(self.fused_midpoints) and E > 0
+
+        def raw_step(positions, sampled_indices):
+            pn = positions[nb["table"]]
+            spring = spring_forces_from_gathered(
+                positions, pn, nb, k_attr, L_min, nb_overflow
+            )
             if k_eff > 1:
-                knn_idx, _ = knn(
-                    midpoints[sampled_indices], midpoints, k_eff,
-                    strategy=strategy, chunk_size=chunk,
-                )
-                knn_idx = knn_idx[:, 1:]  # drop self column
+                if fused_refs:
+                    refs = midpoint_refs_from_gathered(
+                        positions, pn, nb, overflow_lt
+                    )
+                    queries = refs[nb["edge_ref"][sampled_indices]]
+                    slot_idx, _ = knn(
+                        queries, refs, k_eff,
+                        strategy=strategy, chunk_size=chunk,
+                        compute_dtype=knn_dtype, recall_target=recall,
+                    )
+                    knn_idx = nb["ref_edge"][slot_idx[:, 1:]]  # drop self
+                else:
+                    midpoints = (
+                        positions[edges[:, 0]] + positions[edges[:, 1]]
+                    ) / 2.0
+                    knn_idx, _ = knn(
+                        midpoints[sampled_indices], midpoints, k_eff,
+                        strategy=strategy, chunk_size=chunk,
+                        compute_dtype=knn_dtype, recall_target=recall,
+                    )
+                    knn_idx = knn_idx[:, 1:]  # drop self column
                 inter = intersection_forces(
                     positions, edges, knn_idx, sampled_indices, k_inter
                 )

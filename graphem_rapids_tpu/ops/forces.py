@@ -61,16 +61,33 @@ def build_neighbor_table(edges_np, n, cap=None):
     incident pairs go into a small COO overflow list handled by
     segment_sum — exact for every degree distribution.
 
+    The table doubles as a midpoint factory for the kNN pass: the gathered
+    ``positions[table]`` already holds every edge's far endpoint, so edge
+    midpoints come free of any extra HBM gather (measured as the single
+    biggest per-iteration cost at the 100K tier). The slot maps below let
+    the layout step build the kNN reference set directly from table slots
+    and translate kNN results back to edge ids:
+
     Returns dict with:
-      'table'    : (n, D) int32 neighbor ids (self-padded)
-      'overflow' : (O, 2) int32 (vertex, neighbor) directed pairs
-      'n'        : int
+      'table'      : (n, D) int32 neighbor ids (self-padded)
+      'overflow'   : (O, 2) int32 (vertex, neighbor) directed pairs
+      'n'          : int
+      'ref_edge'   : (n*D + O2,) int32 — edge id per kNN reference slot
+                     (flattened i<j table slots, then i<j overflow pairs)
+      'ref_valid'  : (n*D,) bool — which flattened table slots are real
+                     i<j edges (pad slots and j>i duplicates are False)
+      'overflow_lt': (O2, 2) int32 — i<j overflow pairs (appended refs)
+      'edge_ref'   : (E,) int32 — reference-slot index of each edge
     """
     if len(edges_np) == 0:
         return {
             "table": jnp.zeros((n, 1), jnp.int32),
             "overflow": np.zeros((0, 2), np.int32),
             "n": n,
+            "ref_edge": jnp.zeros((n,), jnp.int32),
+            "ref_valid": jnp.zeros((n,), bool),
+            "overflow_lt": np.zeros((0, 2), np.int32),
+            "edge_ref": jnp.zeros((0,), jnp.int32),
         }
     src = np.concatenate([edges_np[:, 0], edges_np[:, 1]]).astype(np.int64)
     dst = np.concatenate([edges_np[:, 1], edges_np[:, 0]]).astype(np.int64)
@@ -93,20 +110,49 @@ def build_neighbor_table(edges_np, n, cap=None):
     overflow = np.column_stack(
         [src_s[~in_table], dst_s[~in_table]]
     ).astype(np.int32)
-    return {"table": jnp.asarray(table), "overflow": overflow, "n": n}
+
+    # Slot <-> edge maps. edges_np is lexicographically sorted (CSR nonzero
+    # order with i<j), so edge ids resolve by searchsorted on i*n+j keys.
+    E = len(edges_np)
+    edge_keys = edges_np[:, 0].astype(np.int64) * n + edges_np[:, 1]
+    pair_keys = np.minimum(src_s, dst_s) * n + np.maximum(src_s, dst_s)
+    eids = np.searchsorted(edge_keys, pair_keys).astype(np.int32)
+
+    lt = src_s < dst_s  # each edge's unique i<j directed slot
+    sel_t = in_table & lt
+    slot_edge = np.zeros((n, cap), np.int32)
+    ref_valid = np.zeros((n, cap), bool)
+    slot_edge[src_s[sel_t], col[sel_t]] = eids[sel_t]
+    ref_valid[src_s[sel_t], col[sel_t]] = True
+
+    sel_o = (~in_table) & lt
+    overflow_lt = np.column_stack(
+        [src_s[sel_o], dst_s[sel_o]]
+    ).astype(np.int32)
+    edge_ref = np.full(E, -1, np.int64)
+    edge_ref[eids[sel_t]] = src_s[sel_t] * cap + col[sel_t]
+    edge_ref[eids[sel_o]] = n * cap + np.arange(sel_o.sum())
+
+    ref_edge = np.concatenate([slot_edge.reshape(-1), eids[sel_o]])
+    return {
+        "table": jnp.asarray(table),
+        "overflow": overflow,
+        "n": n,
+        "ref_edge": jnp.asarray(ref_edge.astype(np.int32)),
+        "ref_valid": jnp.asarray(ref_valid.reshape(-1)),
+        "overflow_lt": overflow_lt,
+        "edge_ref": jnp.asarray(edge_ref.astype(np.int32)),
+    }
 
 
-def spring_forces_nbtable(positions, nb, k_attr, L_min,
-                          overflow_edges=None):
-    """Spring forces via the dense neighbor table (gather + row-sum).
+def spring_forces_from_gathered(positions, pn, nb, k_attr, L_min,
+                                overflow_edges=None):
+    """Spring forces from an already-gathered neighbor-position block.
 
-    Numerically identical to the scatter formulation: for vertex v,
-    F_v = sum_{u in N(v)} -k_attr * (||u - v|| - L_min) * unit(v -> u)
-    (each undirected edge is visited once from each side). Overflow pairs
-    (degrees beyond the table cap) are accumulated with segment_sum.
+    ``pn = positions[nb['table']]`` is the step's single large HBM gather;
+    passing it in lets the caller reuse it for the kNN midpoint reference
+    set (midpoint_refs_from_gathered) instead of paying a second gather.
     """
-    table = nb["table"]
-    pn = positions[table]                       # (n, D, d)
     diff = pn - positions[:, None, :]           # v -> u
     dist = jnp.linalg.norm(diff, axis=-1, keepdims=True) + EPS
     f = (-k_attr * (dist - L_min)) * (diff / dist)
@@ -122,6 +168,61 @@ def spring_forces_nbtable(positions, nb, k_attr, L_min,
             fo, overflow_edges[:, 0], num_segments=nb["n"]
         )
     return forces
+
+
+def spring_forces_nbtable(positions, nb, k_attr, L_min,
+                          overflow_edges=None):
+    """Spring forces via the dense neighbor table (gather + row-sum).
+
+    Numerically identical to the scatter formulation: for vertex v,
+    F_v = sum_{u in N(v)} -k_attr * (||u - v|| - L_min) * unit(v -> u)
+    (each undirected edge is visited once from each side). Overflow pairs
+    (degrees beyond the table cap) are accumulated with segment_sum.
+    """
+    pn = positions[nb["table"]]                 # (n, D, d)
+    return spring_forces_from_gathered(
+        positions, pn, nb, k_attr, L_min, overflow_edges
+    )
+
+
+# Padded / non-edge reference slots are pushed to +BIG so squared distances
+# overflow to +inf and the slot can never be selected as a neighbor — the
+# same convention _oneshot_approx uses for lane padding (ops/knn.py).
+REF_PAD_VALUE = 1e30
+
+
+def midpoint_refs_from_gathered(positions, pn, nb, overflow_lt=None):
+    """Edge-midpoint kNN reference set built from the spring gather.
+
+    The reference engine recomputes midpoints with a second full-edge
+    gather, ``(pos[e0]+pos[e1])/2`` (embedder_pytorch.py:785) — at the 100K
+    tier that gather alone dominates the iteration (HBM random-row floor,
+    BASELINE.md). Here every edge's two endpoint positions already sit in
+    ``pn``, so midpoints are pure VPU math: slot (v, s) holds
+    ``(pos[v] + pn[v, s]) / 2``, bitwise equal to the direct formula.
+
+    Each edge contributes exactly one reference (its i<j slot, per
+    nb['ref_valid']); pad slots and j>i duplicates are pushed to
+    REF_PAD_VALUE. Overflow edges (beyond the table cap) append their
+    midpoints via a small gather. kNN results over these refs translate
+    back to edge ids through nb['ref_edge']; queries for sampled edges are
+    looked up through nb['edge_ref'].
+
+    Returns (n*D + O2, d) float refs, aligned with nb['ref_edge'].
+    """
+    n, cap, d = pn.shape
+    mid = (positions[:, None, :] + pn) * 0.5
+    refs = jnp.where(
+        nb["ref_valid"][:, None],
+        mid.reshape(n * cap, d),
+        jnp.asarray(REF_PAD_VALUE, positions.dtype),
+    )
+    if overflow_lt is not None and overflow_lt.shape[0] > 0:
+        ov_mid = (
+            positions[overflow_lt[:, 0]] + positions[overflow_lt[:, 1]]
+        ) * 0.5
+        refs = jnp.concatenate([refs, ov_mid], axis=0)
+    return refs
 
 
 def spring_forces(positions, edges, k_attr, L_min, scatter_plan=None):

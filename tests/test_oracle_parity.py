@@ -186,3 +186,94 @@ def test_multi_step_parity():
         emb.update_positions(sample_indices=sampled)
 
     np.testing.assert_allclose(emb.positions, expected, rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("cap", [None, 3])
+def test_midpoint_refs_fused_parity(cap):
+    """Slot-midpoint refs from the spring gather == direct midpoints.
+
+    The fused path (ops/forces.py midpoint_refs_from_gathered) must place
+    every edge's midpoint at exactly one reference slot, bitwise equal to
+    the direct (pos[e0]+pos[e1])/2 formula, with working edge<->slot maps.
+    cap=3 forces table overflow (appended-refs branch).
+    """
+    from graphem_rapids_tpu.ops.forces import (
+        REF_PAD_VALUE,
+        build_neighbor_table,
+        midpoint_refs_from_gathered,
+    )
+    import jax.numpy as jnp
+
+    adj = gr.generate_ba(n=200, m=4, seed=0)
+    rows, cols = adj.nonzero()
+    mask = rows < cols
+    edges = np.column_stack([rows[mask], cols[mask]]).astype(np.int64)
+    rng = np.random.default_rng(0)
+    positions = rng.standard_normal((200, 3)).astype(np.float32)
+
+    nb = build_neighbor_table(edges, 200, cap=cap)
+    if cap is not None:
+        assert len(nb["overflow_lt"]) > 0
+
+    p = jnp.asarray(positions)
+    pn = p[nb["table"]]
+    overflow_lt = (
+        jnp.asarray(nb["overflow_lt"]) if len(nb["overflow_lt"]) else None
+    )
+    refs = np.asarray(midpoint_refs_from_gathered(p, pn, nb, overflow_lt))
+
+    direct = (positions[edges[:, 0]] + positions[edges[:, 1]]) / 2.0
+    edge_ref = np.asarray(nb["edge_ref"])
+    ref_edge = np.asarray(nb["ref_edge"])
+
+    # every edge's slot holds its midpoint, bitwise
+    np.testing.assert_array_equal(refs[edge_ref], direct)
+    # slot -> edge inverts edge -> slot
+    np.testing.assert_array_equal(ref_edge[edge_ref], np.arange(len(edges)))
+    # exactly E live refs; all others parked at the pad value
+    live = refs[:, 0] < REF_PAD_VALUE
+    assert live.sum() == len(edges)
+    assert (refs[~live] == REF_PAD_VALUE).all()
+
+
+@pytest.mark.fast
+def test_knn_over_fused_refs_matches_direct():
+    """kNN over slot refs, mapped to edge ids, == kNN over direct midpoints."""
+    from graphem_rapids_tpu.ops.forces import (
+        build_neighbor_table,
+        midpoint_refs_from_gathered,
+    )
+    from graphem_rapids_tpu.ops.knn import knn_exact
+    import jax.numpy as jnp
+
+    edges, positions = _setup()
+    nb = build_neighbor_table(edges, positions.shape[0])
+    p = jnp.asarray(positions)
+    pn = p[nb["table"]]
+    overflow_lt = (
+        jnp.asarray(nb["overflow_lt"]) if len(nb["overflow_lt"]) else None
+    )
+    refs = midpoint_refs_from_gathered(p, pn, nb, overflow_lt)
+
+    midpoints = (positions[edges[:, 0]] + positions[edges[:, 1]]) / 2.0
+    sampled = np.arange(0, len(edges), 3)
+    queries = refs[nb["edge_ref"][jnp.asarray(sampled)]]
+
+    slot_idx, slot_d = knn_exact(queries, refs, 8)
+    fused_eids = np.asarray(nb["ref_edge"])[np.asarray(slot_idx)]
+    direct_idx, direct_d = knn_exact(
+        jnp.asarray(midpoints[sampled]), jnp.asarray(midpoints), 8
+    )
+    # neighbor distance multisets must agree exactly (tie order may differ)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(slot_d), axis=1),
+        np.sort(np.asarray(direct_d), axis=1),
+        rtol=1e-5, atol=1e-7,
+    )
+    # and where distances are unique, the edge ids agree
+    d2 = ((midpoints[sampled][:, None] - midpoints[None]) ** 2).sum(-1)
+    for r in range(0, len(sampled), 7):
+        row = np.sort(d2[r])
+        if len(np.unique(np.round(row[:9], 10))) == 9:  # no ties in top-9
+            assert set(fused_eids[r]) == set(np.asarray(direct_idx)[r])
