@@ -312,8 +312,17 @@ class GraphEmbedderTPU:
             if len(nb["overflow_lt"]) else None
         )
         if self.fused_midpoints is None:
+            from ..ops.knn import ONESHOT_BUDGET_BYTES
+
+            # auto: only while the padded slot count stays bounded AND the
+            # enlarged reference set still fits the one-shot kNN budget —
+            # falling off the one-shot path onto the blockwise scan costs
+            # far more than the midpoint gather saves.
             fused_refs = (
-                strategy == "approx" and E > 0 and n_ref_slots <= 4 * E
+                strategy == "approx"
+                and E > 0
+                and n_ref_slots <= 4 * E
+                and S * n_ref_slots * 4 <= ONESHOT_BUDGET_BYTES
             )
         else:
             fused_refs = bool(self.fused_midpoints) and E > 0

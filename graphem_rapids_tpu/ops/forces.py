@@ -84,6 +84,7 @@ def build_neighbor_table(edges_np, n, cap=None):
             "table": jnp.zeros((n, 1), jnp.int32),
             "overflow": np.zeros((0, 2), np.int32),
             "n": n,
+            "ref_cap": 1,
             "ref_edge": jnp.zeros((n,), jnp.int32),
             "ref_valid": jnp.zeros((n,), bool),
             "overflow_lt": np.zeros((0, 2), np.int32),
@@ -98,7 +99,12 @@ def build_neighbor_table(edges_np, n, cap=None):
         cap = int(min(deg.max(), max(32, 4 * mean_deg)))
     cap = max(cap, 1)
 
-    order = np.argsort(src, kind="stable")
+    # Within each vertex's row, i<j neighbors come FIRST: the kNN midpoint
+    # reference set is built from a prefix of the table columns (ref_cap
+    # below), so packing the i<j slots into that prefix minimizes padded
+    # (never-a-reference) slots the approx kNN has to scan past.
+    lt_dir = src < dst
+    order = np.lexsort((~lt_dir, src))
     src_s, dst_s = src[order], dst[order]
     starts = np.zeros(n + 1, np.int64)
     np.cumsum(np.bincount(src_s, minlength=n), out=starts[1:])
@@ -119,25 +125,39 @@ def build_neighbor_table(edges_np, n, cap=None):
     eids = np.searchsorted(edge_keys, pair_keys).astype(np.int32)
 
     lt = src_s < dst_s  # each edge's unique i<j directed slot
-    sel_t = in_table & lt
-    slot_edge = np.zeros((n, cap), np.int32)
-    ref_valid = np.zeros((n, cap), bool)
+    # ref_cap: smallest column prefix whose total slot count (n*C) plus
+    # the overflowed i<j edges (each costing roughly an order of magnitude
+    # more than a scanned slot: two gathered endpoint rows vs one lane of
+    # fused distance traffic) is cheapest for the kNN pass.
+    lt_deg = np.bincount(src_s[lt], minlength=n).clip(max=cap)
+    max_lt = int(lt_deg.max()) if n else 1
+    best_cost, ref_cap = None, max(max_lt, 1)
+    for C in range(1, max_lt + 1):
+        over = int(np.maximum(lt_deg - C, 0).sum())
+        cost = n * C + 13 * over
+        if best_cost is None or cost < best_cost:
+            best_cost, ref_cap = cost, C
+
+    sel_t = lt & (col < ref_cap)
+    slot_edge = np.zeros((n, ref_cap), np.int32)
+    ref_valid = np.zeros((n, ref_cap), bool)
     slot_edge[src_s[sel_t], col[sel_t]] = eids[sel_t]
     ref_valid[src_s[sel_t], col[sel_t]] = True
 
-    sel_o = (~in_table) & lt
+    sel_o = lt & (col >= ref_cap)
     overflow_lt = np.column_stack(
         [src_s[sel_o], dst_s[sel_o]]
     ).astype(np.int32)
     edge_ref = np.full(E, -1, np.int64)
-    edge_ref[eids[sel_t]] = src_s[sel_t] * cap + col[sel_t]
-    edge_ref[eids[sel_o]] = n * cap + np.arange(sel_o.sum())
+    edge_ref[eids[sel_t]] = src_s[sel_t] * ref_cap + col[sel_t]
+    edge_ref[eids[sel_o]] = n * ref_cap + np.arange(sel_o.sum())
 
     ref_edge = np.concatenate([slot_edge.reshape(-1), eids[sel_o]])
     return {
         "table": jnp.asarray(table),
         "overflow": overflow,
         "n": n,
+        "ref_cap": ref_cap,
         "ref_edge": jnp.asarray(ref_edge.astype(np.int32)),
         "ref_valid": jnp.asarray(ref_valid.reshape(-1)),
         "overflow_lt": overflow_lt,
@@ -203,15 +223,20 @@ def midpoint_refs_from_gathered(positions, pn, nb, overflow_lt=None):
 
     Each edge contributes exactly one reference (its i<j slot, per
     nb['ref_valid']); pad slots and j>i duplicates are pushed to
-    REF_PAD_VALUE. Overflow edges (beyond the table cap) append their
-    midpoints via a small gather. kNN results over these refs translate
-    back to edge ids through nb['ref_edge']; queries for sampled edges are
-    looked up through nb['edge_ref'].
+    REF_PAD_VALUE. Only the first nb['ref_cap'] table columns are scanned
+    — neighbor rows store i<j edges first, and build_neighbor_table picks
+    the cheapest column prefix, spilling rare deep rows into the overflow
+    refs. Overflow edges append their midpoints via a small gather. kNN
+    results over these refs translate back to edge ids through
+    nb['ref_edge']; queries for sampled edges are looked up through
+    nb['edge_ref'].
 
-    Returns (n*D + O2, d) float refs, aligned with nb['ref_edge'].
+    Returns (n*ref_cap + O2, d) float refs, aligned with nb['ref_edge'].
     """
-    n, cap, d = pn.shape
-    mid = (positions[:, None, :] + pn) * 0.5
+    n = pn.shape[0]
+    d = pn.shape[2]
+    cap = min(nb["ref_cap"], pn.shape[1])
+    mid = (positions[:, None, :] + pn[:, :cap]) * 0.5
     refs = jnp.where(
         nb["ref_valid"][:, None],
         mid.reshape(n * cap, d),
