@@ -326,6 +326,7 @@ class GraphEmbedderTPU:
             )
         else:
             fused_refs = bool(self.fused_midpoints) and E > 0
+        self._fused_refs_active = fused_refs
 
         def raw_step(positions, sampled_indices):
             pn = positions[nb["table"]]

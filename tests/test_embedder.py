@@ -204,3 +204,40 @@ class TestFactory:
         info = gr.get_backend_info()
         assert "recommended_backend" in info
         assert info["device_count"] >= 1
+
+
+@pytest.mark.fast
+def test_fused_midpoints_auto_rule():
+    """Auto fused-refs: on for bounded approx tiers, off when forced off,
+    off when the enlarged reference set would fall off the one-shot kNN
+    budget (which would cost more than the gather it saves)."""
+    import graphem_rapids_tpu as gr
+
+    adj = gr.erdos_renyi_graph(300, 0.05, seed=0)
+
+    emb = gr.GraphEmbedderTPU(adj, verbose=False, knn_strategy="approx")
+    assert emb._fused_refs_active  # small slot table, budget holds
+
+    emb = gr.GraphEmbedderTPU(adj, verbose=False, knn_strategy="approx",
+                              fused_midpoints=False)
+    assert not emb._fused_refs_active
+
+    # exact strategy never uses the fused path under the auto rule
+    emb = gr.GraphEmbedderTPU(adj, verbose=False, knn_strategy="exact")
+    assert not emb._fused_refs_active
+
+    # a sample_size so large that S * refs * 4 exceeds the one-shot
+    # budget must disable the auto fused path (falls back to the direct
+    # midpoint gather, which stays on the one-shot path at E refs)
+    import importlib
+
+    # ops/__init__ re-exports a `knn` FUNCTION that shadows the submodule
+    # on attribute access; resolve the module itself explicitly.
+    knn_mod = importlib.import_module("graphem_rapids_tpu.ops.knn")
+    orig = knn_mod.ONESHOT_BUDGET_BYTES
+    try:
+        knn_mod.ONESHOT_BUDGET_BYTES = 1024
+        emb = gr.GraphEmbedderTPU(adj, verbose=False, knn_strategy="approx")
+        assert not emb._fused_refs_active
+    finally:
+        knn_mod.ONESHOT_BUDGET_BYTES = orig
