@@ -50,4 +50,15 @@ def main(smoke=False):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
-    main(**vars(parser.parse_args()))
+    parser.add_argument("--platform", default=None,
+                        choices=("cpu", "tpu"),
+                        help="force a JAX platform; smoke mode "
+                             "defaults to cpu (remote TPU compiles "
+                             "are slow for one-off shapes)")
+    args = parser.parse_args()
+    platform = args.platform or ("cpu" if args.smoke else None)
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    main(smoke=args.smoke)

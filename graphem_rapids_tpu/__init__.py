@@ -73,6 +73,11 @@ from .influence import (
     ndlib_estimated_influence,
 )
 from .models.embedder import GraphEmbedderTPU
+
+# Migration alias: the reference exports its primary engine as
+# GraphEmbedderPyTorch (graphem_rapids/__init__.py:173-220). Here there is
+# ONE engine; code written against the reference keeps working unchanged.
+GraphEmbedderPyTorch = GraphEmbedderTPU
 from .utils.backend_selection import (
     BackendConfig,
     check_tpu_availability,
@@ -167,6 +172,7 @@ __all__ = [
     # Factory + engine
     "create_graphem",
     "GraphEmbedderTPU",
+    "GraphEmbedderPyTorch",  # migration alias for reference users
     # Graph generators
     "erdos_renyi_graph",
     "generate_sbm",

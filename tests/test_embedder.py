@@ -241,3 +241,15 @@ def test_fused_midpoints_auto_rule():
         assert not emb._fused_refs_active
     finally:
         knn_mod.ONESHOT_BUDGET_BYTES = orig
+
+
+@pytest.mark.fast
+def test_reference_engine_alias():
+    """Reference code importing GraphEmbedderPyTorch keeps working."""
+    import graphem_rapids_tpu as gr
+
+    assert gr.GraphEmbedderPyTorch is gr.GraphEmbedderTPU
+    adj = gr.erdos_renyi_graph(50, 0.1, seed=0)
+    emb = gr.GraphEmbedderPyTorch(adj, n_components=2, seed=1, verbose=False)
+    import numpy as np
+    assert np.isfinite(emb.run_layout(3)).all()
