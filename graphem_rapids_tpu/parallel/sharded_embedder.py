@@ -50,6 +50,7 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
             k_inter=self.k_inter,
             n_neighbors=self.n_neighbors,
             sample_size=self.sample_size,
+            nb=self._nb,
         )
 
         def bound_step(positions, key):

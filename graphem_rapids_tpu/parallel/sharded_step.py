@@ -3,9 +3,12 @@
 Parallel decomposition (SURVEY.md §2.4 "new first-class components"):
 
 - The COO edge list is padded to a multiple of the mesh size and each
-  device owns one contiguous shard. Spring forces are a LOCAL sorted-ish
-  segment-sum over the shard followed by one psum of the (n, d) force
-  accumulator — the all-reduce of boundary-vertex contributions.
+  device owns one contiguous shard. Spring forces use the VERTEX-sharded
+  dense neighbor-table gather when a table is provided (each device
+  gathers its n/ndev rows — the HBM gather row count, the single-chip
+  bottleneck, scales with the mesh — then one tiled all_gather assembles
+  the force array); without a table they fall back to a LOCAL segment-sum
+  over the edge shard plus one psum of the (n, d) accumulator.
 - kNN reference tiles are the device-local edge midpoints; every device
   computes a local top-(k+1) against the (replicated, cheap) sampled query
   midpoints, then an all_gather + exact merge produces the global neighbor
@@ -52,19 +55,47 @@ def pad_edges(edges_np, n_devices):
 
 
 def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
-                       n_neighbors, sample_size, axis_name=EDGE_AXIS):
+                       n_neighbors, sample_size, nb=None,
+                       axis_name=EDGE_AXIS):
     """Build the jitted multi-chip update step.
 
     Returns step(positions, edges_padded, valid, key) -> (positions, key),
     where edges_padded/valid are REPLICATED host-prepared arrays (the int32
     edge list is tiny relative to the sharded distance work) and the
     function internally slices the per-device shard by axis index.
+
+    nb : optional neighbor-table dict from ops.forces.build_neighbor_table.
+        When given, spring forces use the VERTEX-sharded dense-table gather
+        (each device gathers only its n/ndev table rows, then one tiled
+        all_gather assembles the (n, d) force array) — the per-chip HBM
+        gather row count, the single-chip bottleneck (docs/ROADMAP.md),
+        scales down with the mesh, and the wire cost drops from a full
+        (n, d) psum to an (n/ndev, d) all_gather. Without nb, falls back
+        to the edge-sharded segment-sum + psum formulation.
     """
     n_devices = int(np.prod(list(mesh.shape.values())))
     E_pad_total = ((E + n_devices - 1) // n_devices) * n_devices
     E_loc = E_pad_total // n_devices
     S = min(sample_size, E)
     k = n_neighbors
+
+    if nb is not None:
+        n_loc = (n + n_devices - 1) // n_devices
+        n_pad = n_loc * n_devices
+        table = nb["table"]
+        D_tbl = table.shape[1]
+        # pad rows (vertices >= n) gather garbage that the final [:n]
+        # slice discards; index 0 keeps them in bounds
+        table_pad = jnp.concatenate(
+            [table, jnp.zeros((n_pad - n, D_tbl), jnp.int32)]
+        ) if n_pad != n else table
+        own_pad = jnp.concatenate(
+            [jnp.arange(n, dtype=jnp.int32),
+             jnp.zeros(n_pad - n, jnp.int32)]
+        ) if n_pad != n else jnp.arange(n, dtype=jnp.int32)
+        nb_overflow = (
+            jnp.asarray(nb["overflow"]) if len(nb["overflow"]) else None
+        )
 
     def sharded_body(positions, edges_full, valid_full, key):
         i = jax.lax.axis_index(axis_name)
@@ -75,17 +106,44 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         )
         valid_loc = jax.lax.dynamic_slice(valid_full, (i * E_loc,), (E_loc,))
 
-        # ---- spring forces: local segment-sum + psum ----------------- #
         p1 = positions[edges_loc[:, 0]]
         p2 = positions[edges_loc[:, 1]]
-        diff = p2 - p1
-        dist = jnp.linalg.norm(diff, axis=1, keepdims=True) + EPS
-        f = (-k_attr * (dist - L_min)) * (diff / dist)
-        f = f * valid_loc[:, None]
-        vals = jnp.concatenate([f, -f], axis=0)
-        ids = jnp.concatenate([edges_loc[:, 0], edges_loc[:, 1]])
-        spring_partial = jax.ops.segment_sum(vals, ids, num_segments=n)
-        spring = jax.lax.psum(spring_partial, axis_name)
+
+        if nb is not None:
+            # ---- spring: vertex-sharded table gather + all_gather ---- #
+            tbl = jax.lax.dynamic_slice(
+                table_pad, (i * n_loc, 0), (n_loc, D_tbl)
+            )
+            own = jax.lax.dynamic_slice(own_pad, (i * n_loc,), (n_loc,))
+            pn = positions[tbl]                       # (n_loc, D, d)
+            pv = positions[own]
+            dv = pn - pv[:, None, :]
+            dd = jnp.linalg.norm(dv, axis=-1, keepdims=True) + EPS
+            fv = (-k_attr * (dd - L_min)) * (dv / dd)
+            spring_loc = fv.sum(axis=1)               # (n_loc, d)
+            spring = jax.lax.all_gather(
+                spring_loc, axis_name, tiled=True
+            )[:n]
+            if nb_overflow is not None:
+                # tiny, replicated on every device (no collective needed)
+                pvo = positions[nb_overflow[:, 0]]
+                puo = positions[nb_overflow[:, 1]]
+                do = puo - pvo
+                ddo = jnp.linalg.norm(do, axis=1, keepdims=True) + EPS
+                fo = (-k_attr * (ddo - L_min)) * (do / ddo)
+                spring = spring + jax.ops.segment_sum(
+                    fo, nb_overflow[:, 0], num_segments=n
+                )
+        else:
+            # ---- spring: edge-sharded segment-sum + psum ------------- #
+            diff = p2 - p1
+            dist = jnp.linalg.norm(diff, axis=1, keepdims=True) + EPS
+            f = (-k_attr * (dist - L_min)) * (diff / dist)
+            f = f * valid_loc[:, None]
+            vals = jnp.concatenate([f, -f], axis=0)
+            ids = jnp.concatenate([edges_loc[:, 0], edges_loc[:, 1]])
+            spring_partial = jax.ops.segment_sum(vals, ids, num_segments=n)
+            spring = jax.lax.psum(spring_partial, axis_name)
 
         # ---- sampled query midpoints (identical on all devices) ------ #
         from ..ops.sampling import sample_indices
