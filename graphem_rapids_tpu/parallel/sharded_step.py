@@ -78,6 +78,14 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     E_loc = E_pad_total // n_devices
     S = min(sample_size, E)
     k = n_neighbors
+    # On TPU meshes the local distance tile runs in bf16, mirroring the
+    # single-chip approx tier (the (S, E_loc) distance traffic dominates;
+    # no measurable layout-quality change — BASELINE.md). CPU meshes (the
+    # virtual test mesh) stay f32, keeping the 1-vs-N allclose gates exact.
+    knn_dtype = (
+        jnp.bfloat16
+        if mesh.devices.flat[0].platform == "tpu" else None
+    )
 
     if nb is not None:
         n_loc = (n + n_devices - 1) // n_devices
@@ -155,7 +163,14 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         # ---- sharded kNN: local top-(k+1), all_gather, exact merge --- #
         mid_loc = (p1 + p2) / 2.0
         mid_loc = jnp.where(valid_loc[:, None] > 0, mid_loc, 1e30)
-        d2 = squared_distances(q_mid, mid_loc)          # (S, E_loc) sharded
+        if knn_dtype is not None:
+            # bf16 stays through the local top-k AND the all_gather merge
+            # (halves both the distance traffic and the candidate wire)
+            d2 = squared_distances(
+                q_mid.astype(knn_dtype), mid_loc.astype(knn_dtype)
+            )
+        else:
+            d2 = squared_distances(q_mid, mid_loc)      # (S, E_loc) sharded
         kk = min(k + 1, E_loc)
         neg, idx_loc = jax.lax.top_k(-d2, kk)
         idx_glob = idx_loc.astype(jnp.int32) + i * E_loc
