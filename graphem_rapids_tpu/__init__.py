@@ -112,8 +112,8 @@ def create_graphem(adjacency, n_components=2, backend=None, mesh=None,
         Embedding dimensionality.
     backend : str, optional
         Force a strategy: 'auto' | 'exact' | 'chunked' | 'approx' |
-        'pallas' | 'sharded' (legacy aliases 'pytorch', 'cuvs', 'cpu'
-        accepted).
+        'binfold' | 'pallas' | 'sharded' (legacy aliases 'pytorch',
+        'cuvs', 'cpu' accepted).
     mesh : jax.sharding.Mesh, optional
         Device mesh for the 'sharded' strategy; defaults to all local
         devices when sharding is selected.

@@ -74,7 +74,11 @@ class GraphEmbedderTPU:
         kNN reference-tile chunk; auto-derived from static memory budgets
         when None (utils/memory_management.py).
     knn_strategy : str, default='auto'
-        'auto' | 'exact' | 'chunked' | 'approx' | 'pallas'.
+        'auto' | 'exact' | 'chunked' | 'approx' | 'binfold' | 'pallas'.
+        'auto' tiers on edge count: exact below EXACT_MAX_REFS, the fused
+        Pallas bin-fold kernel on TPU when its gates + compile probe pass
+        (ops/knn_binfold.py), else the one-shot approx (PartialReduce)
+        tier; CPU hosts take the exact blockwise scan.
     knn_compute_dtype : optional dtype
         Distance compute dtype for the approx kNN tier. None (default)
         auto-selects bfloat16 on TPU — the (S, E) distance traffic
@@ -85,7 +89,10 @@ class GraphEmbedderTPU:
     knn_recall_target : float, default=0.95
         approx_min_k recall target for the approx tier.
     init : str, default='auto'
-        Spectral-init tier: 'auto' | 'scipy' | 'lobpcg' | 'random'.
+        Spectral-init tier: 'auto' | 'scipy' | 'chebyshev' | 'lobpcg' |
+        'random'. 'auto' uses host ARPACK at small/medium n and the
+        device Chebyshev-filtered subspace iteration beyond
+        (ops/laplacian.py).
     fused_midpoints : bool, optional
         Build the kNN midpoint reference set from the spring neighbor-table
         gather (no second edge gather) instead of gathering edge endpoints.
@@ -270,10 +277,30 @@ class GraphEmbedderTPU:
 
         if self.n_edges <= EXACT_MAX_REFS:
             return "exact"
-        # approx (PartialReduce) measured fastest at scale on TPU with ~98%
-        # recall — the cuVS-ANN-tier analog. CPU hosts use the exact
-        # blockwise scan (approx_min_k has no fast CPU lowering).
-        return "approx" if self.device.platform != "cpu" else "chunked"
+        if self.device.platform == "cpu":
+            # exact blockwise scan: approx_min_k has no fast CPU lowering
+            # and interpret-mode pallas is test-only speed.
+            return "chunked"
+        # TPU tiers: the fused Pallas bin-fold kernel beats the one-shot
+        # PartialReduce path (2.13 vs 3.19 ms at the 100K bench workload,
+        # better recall) while its structural gates hold; the compile
+        # probe tiers down to 'approx' if Mosaic rejects the kernel
+        # (reference PyKeOps-probe pattern, embedder_pytorch.py:247-258).
+        from ..ops import knn_binfold as bf
+
+        k_eff = min(self.n_neighbors + 1, max(self.n_edges, 1))
+        if (
+            self.device.platform == "tpu"
+            and self.n_components <= bf.MAX_DIM
+            and k_eff <= bf.MAX_K
+            and self.n_edges < bf.MAX_REFS
+            and bf.probe(self.n_components, self.sample_size, k_eff,
+                         self.knn_recall_target)
+        ):
+            return "binfold"
+        # approx (PartialReduce) with bf16 distances — the cuVS-ANN-tier
+        # analog and the fallback when binfold is gated out.
+        return "approx"
 
     # ------------------------------------------------------------------ #
     # the jitted layout step
@@ -313,16 +340,23 @@ class GraphEmbedderTPU:
         )
         if self.fused_midpoints is None:
             from ..ops.knn import ONESHOT_BUDGET_BYTES
+            from ..ops.knn_binfold import MAX_REFS as BINFOLD_MAX_REFS
 
             # auto: only while the padded slot count stays bounded AND the
-            # enlarged reference set still fits the one-shot kNN budget —
-            # falling off the one-shot path onto the blockwise scan costs
-            # far more than the midpoint gather saves.
+            # enlarged reference set still fits the strategy's budget —
+            # for 'approx', the one-shot (S, E) buffer (falling off the
+            # one-shot path onto the blockwise scan costs far more than
+            # the midpoint gather saves); for 'binfold', only the fp32
+            # index-lane bound (the kernel never materializes (S, E)).
+            if strategy == "binfold":
+                budget_ok = n_ref_slots < BINFOLD_MAX_REFS
+            else:
+                budget_ok = S * n_ref_slots * 4 <= ONESHOT_BUDGET_BYTES
             fused_refs = (
-                strategy == "approx"
+                strategy in ("approx", "binfold")
                 and E > 0
                 and n_ref_slots <= 4 * E
-                and S * n_ref_slots * 4 <= ONESHOT_BUDGET_BYTES
+                and budget_ok
             )
         else:
             fused_refs = bool(self.fused_midpoints) and E > 0

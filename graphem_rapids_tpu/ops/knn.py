@@ -160,8 +160,8 @@ def knn(queries, refs, k, strategy="auto", chunk_size=DEFAULT_CHUNK,
         compute_dtype=None, recall_target=0.95):
     """Strategy-dispatched kNN.
 
-    strategy in {'auto', 'exact', 'chunked', 'approx', 'pallas'}. 'auto'
-    mirrors the reference's tiered engine selection
+    strategy in {'auto', 'exact', 'chunked', 'approx', 'binfold',
+    'pallas'}. 'auto' mirrors the reference's tiered engine selection
     (embedder_pytorch.py:449-483, embedder_cuvs.py:255-272) but selects a
     kernel strategy on one engine instead of a library.
     """
@@ -176,6 +176,14 @@ def knn(queries, refs, k, strategy="auto", chunk_size=DEFAULT_CHUNK,
         return knn_approx(queries, refs, k, chunk_size,
                           compute_dtype=compute_dtype,
                           recall_target=recall_target)
+    if strategy == "binfold":
+        from .knn_binfold import knn_binfold  # lazy: pallas import cost
+
+        # Fused Pallas distance + bin-min kernel: fastest approx tier on
+        # TPU (no (S, E) HBM buffer at all). The engine auto-selects it
+        # behind a compile probe (knn_binfold.probe); off-TPU it runs in
+        # interpret mode (tests).
+        return knn_binfold(queries, refs, k, recall_target=recall_target)
     if strategy == "pallas":
         from .knn_pallas import knn_pallas  # lazy: pallas import cost
 

@@ -5,12 +5,19 @@ symmetrize + binarize the adjacency, take the normalized Laplacian, compute
 the (d+1) smallest eigenvectors, drop the trivial constant one, fall back to
 0.1 * randn on solver failure.
 
-Two tiers (tiered-fallback pattern, SURVEY.md §5.3):
-- 'scipy' : host ARPACK eigsh — exact parity with the reference; runs once
-  at init so host execution is acceptable at small/medium n.
-- 'lobpcg': jax.experimental.sparse.linalg.lobpcg_standard on the shifted
-  normalized Laplacian as device SpMV — the TPU-native path for large n.
-Failures tier down: lobpcg -> scipy -> random.
+Three tiers (tiered-fallback pattern, SURVEY.md §5.3):
+- 'scipy'    : host ARPACK eigsh — exact parity with the reference; runs
+  once at init so host execution is acceptable at small/medium n.
+- 'chebyshev': Chebyshev-filtered subspace iteration on device — the
+  TPU-native path for large n. The SpMV is the same dense neighbor-table
+  gather + row-sum that beats scatter for spring forces (ops/forces.py);
+  the known null vector D^{1/2}1 of the normalized Laplacian is deflated
+  analytically, and the Chebyshev filter damps the spectral bulk [a, 2]
+  so no preconditioner is needed (unpreconditioned LOBPCG measured
+  non-convergent at n=250K — ROADMAP.md).
+- 'lobpcg'   : jax.experimental.sparse.linalg.lobpcg_standard on the
+  shifted normalized Laplacian, kept as an explicit opt-in tier.
+Failures tier down: chebyshev/lobpcg -> scipy -> random.
 """
 
 import logging
@@ -41,6 +48,146 @@ def _spectral_scipy(L, n_components, seed=None):
     )
     _, eigenvectors = spla.eigsh(L, k, which="SM", v0=v0)
     return eigenvectors[:, 1:k]
+
+
+def _adjacency_matvec_plan(A, cap=None):
+    """Dense neighbor table + overflow COO for gather-based A @ X.
+
+    Same trick as ops/forces.py build_neighbor_table (scatter is ~5x
+    slower than a dense gather + row-sum on v5e and ~15x slower to
+    compile): rows self-padded, so the matvec subtracts pad_count * x_v.
+    Skewed tails beyond ``cap`` columns go to a COO overflow handled by
+    segment_sum.
+    """
+    import jax.numpy as jnp
+
+    n = A.shape[0]
+    A = A.tocsr()
+    deg = np.diff(A.indptr)
+    mean_deg = max(1, int(np.ceil(deg.mean()))) if n else 1
+    if cap is None:
+        cap = int(min(max(deg.max(), 1), max(32, 4 * mean_deg)))
+    cap = max(cap, 1)
+
+    src = np.repeat(np.arange(n), deg)
+    dst = A.indices.astype(np.int64)
+    col = np.arange(len(src)) - A.indptr[src]
+    in_table = col < cap
+    table = np.repeat(np.arange(n, dtype=np.int32)[:, None], cap, axis=1)
+    table[src[in_table], col[in_table]] = dst[in_table]
+    pad_count = (cap - np.minimum(deg, cap)).astype(np.float32)
+    overflow = np.column_stack([src[~in_table], dst[~in_table]]).astype(
+        np.int32
+    )
+    return {
+        "table": jnp.asarray(table),
+        "pad_count": jnp.asarray(pad_count),
+        "overflow": jnp.asarray(overflow),
+        "deg": jnp.asarray(deg.astype(np.float32)),
+        "n": n,
+    }
+
+
+def _spectral_chebyshev(adjacency, n_components, seed, n_outer=8,
+                        degree=14, guard=4):
+    """Chebyshev-filtered subspace iteration for the low end of L.
+
+    TPU-native large-n tier. Ingredients:
+    - SpMV as dense neighbor-table gather + row-sum (same structure that
+      beats segment_sum ~5x for spring forces on v5e), with COO overflow
+      for skewed degree tails — no scatter on the hot path.
+    - The normalized Laplacian's known null vector D^{1/2}1 is deflated
+      analytically every round, so the iteration only has to resolve the
+      d nontrivial low eigenvectors.
+    - A degree-``degree`` Chebyshev filter damps [a, 2] (|T_m| <= 1 there)
+      while growing ~cosh(m*acosh) below a — the standard
+      preconditioner-free route (unpreconditioned LOBPCG measured
+      non-convergent at this scale). The cutoff ``a`` adapts each outer
+      round to the first guard Ritz value.
+    - Rayleigh-Ritz on the filtered block orders the Ritz vectors by
+      their true L-eigenvalues.
+
+    The embedding only needs init-quality eigenvectors, not solver-grade
+    tolerances; n_outer * degree ~ 100 matvecs is plenty (validated
+    against eigsh in tests/test_oracle_parity.py-style subspace checks).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = adjacency.shape[0]
+    k = n_components
+    s = k + 1 + guard  # wanted + deflation slack + guard block
+
+    if not sp.issparse(adjacency):
+        adjacency = sp.csr_matrix(adjacency)
+    A = sp.csr_matrix(adjacency + adjacency.transpose())
+    A.data = np.ones_like(A.data)
+    A.setdiag(0)
+    A.eliminate_zeros()
+    plan = _adjacency_matvec_plan(A)
+
+    deg = plan["deg"]
+    dinv = jnp.where(deg > 0, deg ** -0.5, 0.0).astype(jnp.float32)
+    sqrt_deg = jnp.sqrt(deg).astype(jnp.float32)
+    v0 = sqrt_deg / (jnp.linalg.norm(sqrt_deg) + 1e-30)  # L v0 = 0
+    table, pad_count, overflow = (
+        plan["table"], plan["pad_count"], plan["overflow"]
+    )
+    has_overflow = overflow.shape[0] > 0
+
+    def lap_mm(X):
+        """L @ X for (n, s) blocks; gather + row-sum, no scatter."""
+        Y = dinv[:, None] * X
+        AY = Y[table].sum(axis=1) - pad_count[:, None] * Y
+        if has_overflow:
+            AY = AY + jax.ops.segment_sum(
+                Y[overflow[:, 1]], overflow[:, 0], num_segments=n
+            )
+        return X - dinv[:, None] * AY
+
+    def deflate(X):
+        return X - v0[:, None] * (v0 @ X)
+
+    def cheb_filter(X, a):
+        """T_degree of L mapped so [a, 2] -> [-1, 1]."""
+        e = (2.0 + a) / 2.0
+        c = (2.0 - a) / 2.0
+        Y_prev = X
+        Y = (lap_mm(X) - e * X) / c
+        for _ in range(degree - 1):
+            Y_next = (2.0 / c) * (lap_mm(Y) - e * Y) - Y_prev
+            Y_prev, Y = Y, Y_next
+        return Y
+
+    @jax.jit
+    def run(X0):
+        def outer(carry, _):
+            X, a = carry
+            X = cheb_filter(X, a)
+            X = deflate(X)
+            X, _ = jnp.linalg.qr(X)
+            LX = lap_mm(X)
+            H = X.T @ LX
+            ritz, W = jnp.linalg.eigh((H + H.T) / 2.0)
+            X = X @ W
+            a = jnp.clip(ritz[k], 0.05, 1.9)
+            return (X, a), ritz
+        (X, _), ritz_hist = jax.lax.scan(
+            outer, (X0, jnp.float32(0.5)), None, length=n_outer
+        )
+        return X, ritz_hist[-1]
+
+    rng = np.random.default_rng(0 if seed is None else seed)
+    X0 = jnp.asarray(
+        rng.standard_normal((n, s)).astype(np.float32)
+    )
+    X, ritz = run(X0)
+    ritz = np.asarray(ritz)
+    if not np.all(np.isfinite(ritz)):
+        raise RuntimeError("chebyshev subspace iteration diverged")
+    # Deflation removed the trivial vector; columns are Ritz-ordered
+    # ascending, so the first k are the wanted nontrivial eigenvectors.
+    return np.asarray(X[:, :k])
 
 
 def _spectral_lobpcg(L, n_components, seed):
@@ -74,13 +221,13 @@ def spectral_init(adjacency, n_components, method="auto", seed=None,
                   lobpcg_threshold=5_000_000):
     """Initial positions from the graph spectrum, (n, n_components) float32.
 
-    method in {'auto', 'scipy', 'lobpcg', 'random'}. 'auto' uses host ARPACK
-    up to ``lobpcg_threshold`` vertices: measured on this class of graphs,
-    eigsh is exact in 6.7s at n=250K and 78s at n=1M, while unpreconditioned
-    device LOBPCG at n=250K took 103s and converged poorly (Rayleigh
-    quotients ~0.59 after 200 iterations). LOBPCG remains the explicit
-    device tier for when init must stay off-host; it needs a preconditioner
-    to be competitive (ROADMAP.md).
+    method in {'auto', 'scipy', 'chebyshev', 'lobpcg', 'random'}. 'auto'
+    uses host ARPACK up to ``lobpcg_threshold`` vertices (measured: exact
+    in 6.7s at n=250K, 78s at n=1M) and the device Chebyshev tier beyond.
+    Unpreconditioned device LOBPCG at n=250K took 103s and converged
+    poorly (Rayleigh quotients ~0.59 after 200 iterations) — kept only as
+    an explicit opt-in; 'chebyshev' is the device tier that actually
+    converges (filter damps the bulk instead of preconditioning).
     """
     n = adjacency.shape[0]
     rng = np.random.default_rng(seed)
@@ -89,7 +236,19 @@ def spectral_init(adjacency, n_components, method="auto", seed=None,
         return (rng.standard_normal((n, n_components)) * 0.1).astype(np.float32)
 
     if method == "auto":
-        method = "scipy" if n < lobpcg_threshold else "lobpcg"
+        method = "scipy" if n < lobpcg_threshold else "chebyshev"
+
+    if method == "chebyshev":
+        try:
+            return _spectral_chebyshev(
+                adjacency, n_components, seed
+            ).astype(np.float32)
+        except Exception as e:
+            logger.warning(
+                "Chebyshev subspace iteration failed (%s); "
+                "falling back to scipy eigsh", e,
+            )
+            method = "scipy"
 
     try:
         L = _normalized_laplacian(adjacency)

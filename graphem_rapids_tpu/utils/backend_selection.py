@@ -27,7 +27,9 @@ from dataclasses import dataclass, field
 
 logger = logging.getLogger(__name__)
 
-VALID_STRATEGIES = ("auto", "exact", "chunked", "approx", "pallas", "sharded")
+VALID_STRATEGIES = (
+    "auto", "exact", "chunked", "approx", "binfold", "pallas", "sharded"
+)
 LEGACY_ALIASES = {
     "pytorch": "auto",
     "cuda": "auto",
@@ -146,17 +148,20 @@ def get_optimal_backend(config: BackendConfig):
 
     if n > LARGE_GRAPH_VERTICES and n_devices > 1:
         return "sharded"
-    # approx (one-shot PartialReduce) measured fastest on TPU with ~98%
-    # recall; CPU hosts take the exact blockwise scan. The hand-written
-    # Pallas kernel stays available via force_backend='pallas'.
+    # Single-device TPU tiers resolve to 'auto': the engine's
+    # _resolved_strategy owns the kernel choice (exact / binfold /
+    # approx) because it tiers on EDGE count — what the kNN reference
+    # set actually scales with — and compile-probes the Pallas binfold
+    # kernel. CPU hosts take the exact blockwise scan. The hand-written
+    # Pallas tiled kernel stays available via force_backend='pallas'.
     if n > LARGE_GRAPH_VERTICES:
-        return "approx" if has_tpu else "chunked"
+        return "auto" if has_tpu else "chunked"
     if n > MEDIUM_GRAPH_VERTICES:
         if config.memory_limit is not None:
             est = estimate_memory_usage(n, config.n_components, "exact")
             if est > config.memory_limit:
                 return "chunked"
-        return "approx" if has_tpu else "chunked"
+        return "auto" if has_tpu else "chunked"
     return "exact"
 
 

@@ -78,10 +78,11 @@ class TestDecisionTree:
         "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
         return_value=True,
     )
-    def test_medium_graph_tpu_approx(self, _):
+    def test_medium_graph_tpu_defers_to_engine_auto(self, _):
+        # engine _resolved_strategy owns the exact/binfold/approx pick
         c = self._config(50_000)
         c.mesh_devices = 1
-        assert get_optimal_backend(c) == "approx"
+        assert get_optimal_backend(c) == "auto"
 
     @mock.patch(
         "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
@@ -105,10 +106,10 @@ class TestDecisionTree:
         "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
         return_value=True,
     )
-    def test_large_graph_single_device_approx(self, _):
+    def test_large_graph_single_device_defers_to_engine_auto(self, _):
         c = self._config(500_000)
         c.mesh_devices = 1
-        assert get_optimal_backend(c) == "approx"
+        assert get_optimal_backend(c) == "auto"
 
     @mock.patch(
         "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
@@ -122,7 +123,7 @@ class TestDecisionTree:
     def test_prefer_tpu_false(self):
         c = self._config(50_000, prefer_tpu=False)
         c.mesh_devices = 1
-        assert get_optimal_backend(c) in ("chunked", "approx")
+        assert get_optimal_backend(c) in ("chunked", "auto")
 
 
 @pytest.mark.fast
