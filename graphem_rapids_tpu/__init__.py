@@ -161,9 +161,9 @@ def get_backend_info():
         "tpu_device_kind": tpu[0].device_kind if tpu else None,
         "device_count": len(devices),
         "pallas_available": True,
-        # matches the auto-selection policy: PartialReduce approx tier is
-        # the measured-fastest on TPU (BASELINE.md)
-        "recommended_backend": "approx" if tpu else "chunked",
+        # matches the auto-selection policy: on TPU the engine resolves
+        # the tier itself (exact / binfold / approx, BASELINE.md)
+        "recommended_backend": "auto" if tpu else "chunked",
     }
     return info
 

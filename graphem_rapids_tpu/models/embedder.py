@@ -362,26 +362,52 @@ class GraphEmbedderTPU:
             fused_refs = bool(self.fused_midpoints) and E > 0
         self._fused_refs_active = fused_refs
 
-        def raw_step(positions, sampled_indices):
-            pn = positions[nb["table"]]
+        # Big graph-shaped arrays ride as jit ARGUMENTS, not closure
+        # constants: a closed-over (n, D) neighbor table embeds tens of MB
+        # of literals in the jaxpr, and trace+lower alone then costs
+        # minutes at the 1M tier even with a warm XLA compile cache
+        # (measured on the Chebyshev init: 452 s trace+lower with the
+        # table as a constant vs seconds as an argument —
+        # experiments/cheb_bisect.py). Static ints (n, ref_cap) stay in
+        # the closure; raw_step re-merges them into the nb dict the
+        # forces helpers expect.
+        step_ops = {
+            "nb": {
+                k_: v_ for k_, v_ in nb.items()
+                if k_ in ("table", "ref_edge", "ref_valid", "edge_ref")
+            },
+            "edges": edges,
+        }
+        if nb_overflow is not None:
+            step_ops["nb_overflow"] = nb_overflow
+        if overflow_lt is not None:
+            step_ops["overflow_lt"] = overflow_lt
+        nb_static = {"n": nb["n"], "ref_cap": nb["ref_cap"]}
+        self._step_ops = step_ops
+
+        def raw_step(positions, sampled_indices, ops):
+            nb_rt = {**ops["nb"], **nb_static}
+            pn = positions[nb_rt["table"]]
             spring = spring_forces_from_gathered(
-                positions, pn, nb, k_attr, L_min, nb_overflow
+                positions, pn, nb_rt, k_attr, L_min,
+                ops.get("nb_overflow"),
             )
             if k_eff > 1:
                 if fused_refs:
                     refs = midpoint_refs_from_gathered(
-                        positions, pn, nb, overflow_lt
+                        positions, pn, nb_rt, ops.get("overflow_lt")
                     )
-                    queries = refs[nb["edge_ref"][sampled_indices]]
+                    queries = refs[nb_rt["edge_ref"][sampled_indices]]
                     slot_idx, _ = knn(
                         queries, refs, k_eff,
                         strategy=strategy, chunk_size=chunk,
                         compute_dtype=knn_dtype, recall_target=recall,
                     )
-                    knn_idx = nb["ref_edge"][slot_idx[:, 1:]]  # drop self
+                    knn_idx = nb_rt["ref_edge"][slot_idx[:, 1:]]  # drop self
                 else:
                     midpoints = (
-                        positions[edges[:, 0]] + positions[edges[:, 1]]
+                        positions[ops["edges"][:, 0]]
+                        + positions[ops["edges"][:, 1]]
                     ) / 2.0
                     knn_idx, _ = knn(
                         midpoints[sampled_indices], midpoints, k_eff,
@@ -390,7 +416,8 @@ class GraphEmbedderTPU:
                     )
                     knn_idx = knn_idx[:, 1:]  # drop self column
                 inter = intersection_forces(
-                    positions, edges, knn_idx, sampled_indices, k_inter
+                    positions, ops["edges"], knn_idx, sampled_indices,
+                    k_inter,
                 )
             else:
                 # a single edge has no neighbor edges to intersect
@@ -412,16 +439,16 @@ class GraphEmbedderTPU:
         # program measured >25 min to compile at the 100K tier on this
         # toolchain vs ~3 min for the static fori — a bad trade.
         @partial(jax.jit, donate_argnums=(0,))
-        def step(positions, key):
+        def step(positions, key, ops):
             key, sub = jax.random.split(key)
-            return raw_step(positions, sample(sub)), key
+            return raw_step(positions, sample(sub), ops), key
 
         @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(0,))
-        def multi_step(positions, key, num_steps):
+        def multi_step(positions, key, ops, num_steps):
             def body(_, carry):
                 positions, key = carry
                 key, sub = jax.random.split(key)
-                return raw_step(positions, sample(sub)), key
+                return raw_step(positions, sample(sub), ops), key
 
             return jax.lax.fori_loop(0, num_steps, body, (positions, key))
 
@@ -458,10 +485,13 @@ class GraphEmbedderTPU:
             return
         if sample_indices is not None:
             self._positions = self._raw_step(
-                self._positions, jnp.asarray(sample_indices, jnp.int32)
+                self._positions, jnp.asarray(sample_indices, jnp.int32),
+                self._step_ops,
             )
         else:
-            self._positions, self._key = self._step(self._positions, self._key)
+            self._positions, self._key = self._step(
+                self._positions, self._key, self._step_ops
+            )
         self._iteration += 1
 
     def run_layout(self, num_iterations=100, block_size=10):
@@ -480,7 +510,7 @@ class GraphEmbedderTPU:
         while done < num_iterations:
             n = min(block_size, num_iterations - done)
             self._positions, self._key = self._multi_step(
-                self._positions, self._key, num_steps=n
+                self._positions, self._key, self._step_ops, num_steps=n
             )
             done += n
             self._iteration += n

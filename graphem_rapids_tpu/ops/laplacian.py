@@ -88,6 +88,78 @@ def _adjacency_matvec_plan(A, cap=None):
     }
 
 
+def _cheb_run(X0, table, pad_count, dinv, v0, overflow, *, k, degree,
+              n_outer, n):
+    """Jitted Chebyshev subspace iteration (module-level by design).
+
+    Every array is an ARGUMENT, not a closure constant: closing over the
+    (n, cap) neighbor table embedded ~92 MB of literals in the jaxpr at
+    n=1M, and trace+lower alone took 452 s (compile another 120 s) while
+    the actual execution was 17 s (experiments/cheb_bisect.py). As
+    arguments they are ordinary device buffers, and the jit cache also
+    survives across _spectral_chebyshev calls.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def lap_mm(X):
+        """L @ X for (n, s) blocks; gather + row-sum, no scatter."""
+        Y = dinv[:, None] * X
+        AY = Y[table].sum(axis=1) - pad_count[:, None] * Y
+        if overflow.shape[0] > 0:
+            AY = AY + jax.ops.segment_sum(
+                Y[overflow[:, 1]], overflow[:, 0], num_segments=n
+            )
+        return X - dinv[:, None] * AY
+
+    def deflate(X):
+        return X - v0[:, None] * (v0 @ X)
+
+    def cheb_filter(X, a):
+        """T_degree of L mapped so [a, 2] -> [-1, 1]."""
+        e = (2.0 + a) / 2.0
+        c = (2.0 - a) / 2.0
+        Y_prev = X
+        Y = (lap_mm(X) - e * X) / c
+        for _ in range(degree - 1):
+            Y_next = (2.0 / c) * (lap_mm(Y) - e * Y) - Y_prev
+            Y_prev, Y = Y, Y_next
+        return Y
+
+    def outer(carry, _):
+        X, a = carry
+        X = cheb_filter(X, a)
+        X = deflate(X)
+        X, _ = jnp.linalg.qr(X)
+        LX = lap_mm(X)
+        H = X.T @ LX
+        ritz, W = jnp.linalg.eigh((H + H.T) / 2.0)
+        X = X @ W
+        a = jnp.clip(ritz[k], 0.05, 1.9)
+        return (X, a), ritz
+
+    (X, _), ritz_hist = jax.lax.scan(
+        outer, (X0, jnp.float32(0.5)), None, length=n_outer
+    )
+    return X, ritz_hist[-1]
+
+
+_cheb_run_jit = None
+
+
+def _get_cheb_run():
+    global _cheb_run_jit
+    if _cheb_run_jit is None:
+        import functools
+
+        import jax
+
+        _cheb_run_jit = functools.partial(
+            jax.jit, static_argnames=("k", "degree", "n_outer", "n")
+        )(_cheb_run)
+    return _cheb_run_jit
+
+
 def _spectral_chebyshev(adjacency, n_components, seed, n_outer=8,
                         degree=14, guard=4):
     """Chebyshev-filtered subspace iteration for the low end of L.
@@ -108,10 +180,10 @@ def _spectral_chebyshev(adjacency, n_components, seed, n_outer=8,
       their true L-eigenvalues.
 
     The embedding only needs init-quality eigenvectors, not solver-grade
-    tolerances; n_outer * degree ~ 100 matvecs is plenty (validated
-    against eigsh in tests/test_oracle_parity.py-style subspace checks).
+    tolerances; n_outer * degree ~ 100 matvecs is plenty (measured at
+    n=1M: 17 s execute, subspace alignment 0.996 vs host ARPACK —
+    experiments/cheb_1m.py).
     """
-    import jax
     import jax.numpy as jnp
 
     n = adjacency.shape[0]
@@ -130,58 +202,15 @@ def _spectral_chebyshev(adjacency, n_components, seed, n_outer=8,
     dinv = jnp.where(deg > 0, deg ** -0.5, 0.0).astype(jnp.float32)
     sqrt_deg = jnp.sqrt(deg).astype(jnp.float32)
     v0 = sqrt_deg / (jnp.linalg.norm(sqrt_deg) + 1e-30)  # L v0 = 0
-    table, pad_count, overflow = (
-        plan["table"], plan["pad_count"], plan["overflow"]
-    )
-    has_overflow = overflow.shape[0] > 0
-
-    def lap_mm(X):
-        """L @ X for (n, s) blocks; gather + row-sum, no scatter."""
-        Y = dinv[:, None] * X
-        AY = Y[table].sum(axis=1) - pad_count[:, None] * Y
-        if has_overflow:
-            AY = AY + jax.ops.segment_sum(
-                Y[overflow[:, 1]], overflow[:, 0], num_segments=n
-            )
-        return X - dinv[:, None] * AY
-
-    def deflate(X):
-        return X - v0[:, None] * (v0 @ X)
-
-    def cheb_filter(X, a):
-        """T_degree of L mapped so [a, 2] -> [-1, 1]."""
-        e = (2.0 + a) / 2.0
-        c = (2.0 - a) / 2.0
-        Y_prev = X
-        Y = (lap_mm(X) - e * X) / c
-        for _ in range(degree - 1):
-            Y_next = (2.0 / c) * (lap_mm(Y) - e * Y) - Y_prev
-            Y_prev, Y = Y, Y_next
-        return Y
-
-    @jax.jit
-    def run(X0):
-        def outer(carry, _):
-            X, a = carry
-            X = cheb_filter(X, a)
-            X = deflate(X)
-            X, _ = jnp.linalg.qr(X)
-            LX = lap_mm(X)
-            H = X.T @ LX
-            ritz, W = jnp.linalg.eigh((H + H.T) / 2.0)
-            X = X @ W
-            a = jnp.clip(ritz[k], 0.05, 1.9)
-            return (X, a), ritz
-        (X, _), ritz_hist = jax.lax.scan(
-            outer, (X0, jnp.float32(0.5)), None, length=n_outer
-        )
-        return X, ritz_hist[-1]
 
     rng = np.random.default_rng(0 if seed is None else seed)
     X0 = jnp.asarray(
         rng.standard_normal((n, s)).astype(np.float32)
     )
-    X, ritz = run(X0)
+    X, ritz = _get_cheb_run()(
+        X0, plan["table"], plan["pad_count"], dinv, v0, plan["overflow"],
+        k=k, degree=degree, n_outer=n_outer, n=n,
+    )
     ritz = np.asarray(ritz)
     if not np.all(np.isfinite(ritz)):
         raise RuntimeError("chebyshev subspace iteration diverged")
@@ -218,16 +247,19 @@ def _spectral_lobpcg(L, n_components, seed):
 
 
 def spectral_init(adjacency, n_components, method="auto", seed=None,
-                  lobpcg_threshold=5_000_000):
+                  device_threshold=500_000):
     """Initial positions from the graph spectrum, (n, n_components) float32.
 
     method in {'auto', 'scipy', 'chebyshev', 'lobpcg', 'random'}. 'auto'
-    uses host ARPACK up to ``lobpcg_threshold`` vertices (measured: exact
-    in 6.7s at n=250K, 78s at n=1M) and the device Chebyshev tier beyond.
-    Unpreconditioned device LOBPCG at n=250K took 103s and converged
-    poorly (Rayleigh quotients ~0.59 after 200 iterations) — kept only as
-    an explicit opt-in; 'chebyshev' is the device tier that actually
-    converges (filter damps the bulk instead of preconditioning).
+    uses host ARPACK up to ``device_threshold`` vertices and the device
+    Chebyshev tier beyond. Measured on the ring+chords 1M graph
+    (experiments/cheb_1m.py): eigsh 6.7 s at n=250K and 95 s at n=1M;
+    chebyshev 62 s cold / 33 s warm at n=1M with subspace alignment
+    0.996 vs eigsh — the crossover sits near 500K. Unpreconditioned
+    device LOBPCG at n=250K took 103 s and converged poorly (Rayleigh
+    quotients ~0.59 after 200 iterations) — kept only as an explicit
+    opt-in; 'chebyshev' is the device tier that actually converges
+    (filter damps the bulk instead of preconditioning).
     """
     n = adjacency.shape[0]
     rng = np.random.default_rng(seed)
@@ -236,7 +268,7 @@ def spectral_init(adjacency, n_components, method="auto", seed=None,
         return (rng.standard_normal((n, n_components)) * 0.1).astype(np.float32)
 
     if method == "auto":
-        method = "scipy" if n < lobpcg_threshold else "chebyshev"
+        method = "scipy" if n < device_threshold else "chebyshev"
 
     if method == "chebyshev":
         try:

@@ -53,10 +53,15 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
             nb=self._nb,
         )
 
-        def bound_step(positions, key):
+        # The inherited run_layout/update_positions thread self._step_ops
+        # (the single-chip operand pytree); the sharded step binds its
+        # operands itself, so the bound wrappers accept and ignore it.
+        self._step_ops = {}
+
+        def bound_step(positions, key, _ops=None):
             return step(positions, self._edges_padded, self._valid, key)
 
-        def bound_multi(positions, key, num_steps):
+        def bound_multi(positions, key, _ops=None, num_steps=1):
             return multi_step(
                 positions, self._edges_padded, self._valid, key,
                 num_steps=num_steps,
@@ -76,7 +81,9 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
                 "sample injection is a single-chip parity hook; use "
                 "GraphEmbedderTPU for layer-by-layer parity runs"
             )
-        self._positions, self._key = self._step(self._positions, self._key)
+        self._positions, self._key = self._step(
+            self._positions, self._key, self._step_ops
+        )
         self._iteration += 1
 
     def __repr__(self):

@@ -117,3 +117,24 @@ def test_empty_dataset_error(tmp_path, monkeypatch):
     (d / "ca-GrQc.txt").write_text("# only comments\n")
     with pytest.raises(ValueError, match="zero edges"):
         gr.load_dataset_as_adjacency("snap-ca-GrQc")
+
+
+@pytest.mark.fast
+def test_factory_defers_tier_choice_to_engine():
+    """create_graphem passes 'auto' through on single-device TPU tiers so
+    the engine's _resolved_strategy (which owns the binfold compile
+    probe) actually runs — it used to pin 'approx', making the binfold
+    tier unreachable through the factory."""
+    with mock.patch(
+        "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
+        return_value=True,
+    ), mock.patch(
+        "graphem_rapids_tpu.utils.backend_selection.check_device_count",
+        return_value=1,
+    ), mock.patch(
+        "graphem_rapids_tpu.utils.backend_selection.MEDIUM_GRAPH_VERTICES",
+        100,
+    ):
+        adj = gr.erdos_renyi_graph(200, 0.1, seed=0)
+        emb = gr.create_graphem(adj, n_components=3, verbose=False)
+    assert emb.knn_strategy == "auto"

@@ -92,7 +92,7 @@ def test_auto_routes_large_n_to_chebyshev(monkeypatch):
         return orig(*a, **kw)
 
     monkeypatch.setattr(lap, "_spectral_chebyshev", spy)
-    lap.spectral_init(adj, 2, method="auto", seed=0, lobpcg_threshold=100)
+    lap.spectral_init(adj, 2, method="auto", seed=0, device_threshold=100)
     assert called.get("yes")
 
 
