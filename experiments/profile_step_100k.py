@@ -98,6 +98,15 @@ def main():
     timeit("knn one-shot approx 512 x 800K (fused)",
            lambda q, r: _oneshot_approx(q, r, K + 1), q_fused, refs)
 
+
+    # -- kNN binfold kernel (fused distance + bin-min, phase-2 top-k)
+    from graphem_rapids_tpu.ops.knn_binfold import knn_binfold
+
+    timeit("knn binfold 512 x 400K (direct)",
+           lambda q, r: knn_binfold(q, r, K + 1), q_direct, mid)
+    timeit("knn binfold 512 x 800K (fused refs)",
+           lambda q, r: knn_binfold(q, r, K + 1), q_fused, refs)
+
     # -- intersection forces
     slot_idx, _ = _oneshot_approx(q_fused, refs, K + 1)
     knn_idx = nb["ref_edge"][slot_idx[:, 1:]]

@@ -40,7 +40,7 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
         self._edges_padded = jnp.asarray(edges_p)
         self._valid = jnp.asarray(valid)
 
-        step, multi_step = build_sharded_step(
+        step, multi_step, sharded_ops = build_sharded_step(
             self.mesh,
             self.n,
             self.n_edges,
@@ -53,17 +53,17 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
             nb=self._nb,
         )
 
-        # The inherited run_layout/update_positions thread self._step_ops
-        # (the single-chip operand pytree); the sharded step binds its
-        # operands itself, so the bound wrappers accept and ignore it.
-        self._step_ops = {}
+        # The inherited run_layout/update_positions thread self._step_ops;
+        # here it is the sharded operand pytree from build_sharded_step
+        # (padded neighbor table etc. as jit arguments).
+        self._step_ops = sharded_ops
 
-        def bound_step(positions, key, _ops=None):
-            return step(positions, self._edges_padded, self._valid, key)
+        def bound_step(positions, key, ops):
+            return step(positions, self._edges_padded, self._valid, key, ops)
 
-        def bound_multi(positions, key, _ops=None, num_steps=1):
+        def bound_multi(positions, key, ops, num_steps=1):
             return multi_step(
-                positions, self._edges_padded, self._valid, key,
+                positions, self._edges_padded, self._valid, key, ops,
                 num_steps=num_steps,
             )
 

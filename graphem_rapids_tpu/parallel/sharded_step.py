@@ -59,9 +59,12 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                        axis_name=EDGE_AXIS):
     """Build the jitted multi-chip update step.
 
-    Returns step(positions, edges_padded, valid, key) -> (positions, key),
-    where edges_padded/valid are REPLICATED host-prepared arrays (the int32
-    edge list is tiny relative to the sharded distance work) and the
+    Returns (step, multi_step, step_ops) where
+    step(positions, edges_padded, valid, key, step_ops)
+    -> (positions, key); edges_padded/valid are REPLICATED host-prepared
+    arrays (the int32 edge list is tiny relative to the sharded distance
+    work), step_ops is the pytree of graph-shaped operands (padded
+    neighbor table etc. — jit arguments, not closure constants), and the
     function internally slices the per-device shard by axis index.
 
     nb : optional neighbor-table dict from ops.forces.build_neighbor_table.
@@ -87,6 +90,11 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         if mesh.devices.flat[0].platform == "tpu" else None
     )
 
+    # Graph-shaped arrays ride as jit ARGUMENTS via the step_ops pytree,
+    # not closure constants — closed-over tables embed tens of MB of
+    # literals in the jaxpr and trace+lower then costs minutes per
+    # process (measured single-chip, models/embedder.py _build_step).
+    step_ops = {}
     if nb is not None:
         n_loc = (n + n_devices - 1) // n_devices
         n_pad = n_loc * n_devices
@@ -94,18 +102,17 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         D_tbl = table.shape[1]
         # pad rows (vertices >= n) gather garbage that the final [:n]
         # slice discards; index 0 keeps them in bounds
-        table_pad = jnp.concatenate(
+        step_ops["table_pad"] = jnp.concatenate(
             [table, jnp.zeros((n_pad - n, D_tbl), jnp.int32)]
         ) if n_pad != n else table
-        own_pad = jnp.concatenate(
+        step_ops["own_pad"] = jnp.concatenate(
             [jnp.arange(n, dtype=jnp.int32),
              jnp.zeros(n_pad - n, jnp.int32)]
         ) if n_pad != n else jnp.arange(n, dtype=jnp.int32)
-        nb_overflow = (
-            jnp.asarray(nb["overflow"]) if len(nb["overflow"]) else None
-        )
+        if len(nb["overflow"]):
+            step_ops["nb_overflow"] = jnp.asarray(nb["overflow"])
 
-    def sharded_body(positions, edges_full, valid_full, key):
+    def sharded_body(positions, edges_full, valid_full, key, ops):
         i = jax.lax.axis_index(axis_name)
 
         # ---- local edge shard --------------------------------------- #
@@ -120,9 +127,11 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         if nb is not None:
             # ---- spring: vertex-sharded table gather + all_gather ---- #
             tbl = jax.lax.dynamic_slice(
-                table_pad, (i * n_loc, 0), (n_loc, D_tbl)
+                ops["table_pad"], (i * n_loc, 0), (n_loc, D_tbl)
             )
-            own = jax.lax.dynamic_slice(own_pad, (i * n_loc,), (n_loc,))
+            own = jax.lax.dynamic_slice(
+                ops["own_pad"], (i * n_loc,), (n_loc,)
+            )
             pn = positions[tbl]                       # (n_loc, D, d)
             pv = positions[own]
             dv = pn - pv[:, None, :]
@@ -132,8 +141,9 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             spring = jax.lax.all_gather(
                 spring_loc, axis_name, tiled=True
             )[:n]
-            if nb_overflow is not None:
+            if "nb_overflow" in step_ops:
                 # tiny, replicated on every device (no collective needed)
+                nb_overflow = ops["nb_overflow"]
                 pvo = positions[nb_overflow[:, 0]]
                 puo = positions[nb_overflow[:, 1]]
                 do = puo - pvo
@@ -203,7 +213,7 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     shard_fn = jax.shard_map(
         sharded_body,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
@@ -211,17 +221,17 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     # num_steps stays static — see models/embedder.py note on dynamic trip
     # counts (compile-time explosion on this toolchain).
     @jax.jit
-    def step(positions, edges_padded, valid, key):
+    def step(positions, edges_padded, valid, key, ops):
         key, sub = jax.random.split(key)
-        return shard_fn(positions, edges_padded, valid, sub), key
+        return shard_fn(positions, edges_padded, valid, sub, ops), key
 
     @partial(jax.jit, static_argnames=("num_steps",))
-    def multi_step(positions, edges_padded, valid, key, num_steps):
+    def multi_step(positions, edges_padded, valid, key, ops, num_steps):
         def body(_, carry):
             positions, key = carry
             key, sub = jax.random.split(key)
-            return shard_fn(positions, edges_padded, valid, sub), key
+            return shard_fn(positions, edges_padded, valid, sub, ops), key
 
         return jax.lax.fori_loop(0, num_steps, body, (positions, key))
 
-    return step, multi_step
+    return step, multi_step, step_ops

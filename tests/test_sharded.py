@@ -103,7 +103,7 @@ def test_build_sharded_step_smoke():
     mask = rows < cols
     edges = np.column_stack([rows[mask], cols[mask]])
     mesh = make_mesh(8)
-    step, multi = build_sharded_step(
+    step, multi, ops = build_sharded_step(
         mesh, 80, len(edges), n_components=3, k_attr=0.2, L_min=1.0,
         k_inter=0.5, n_neighbors=5, sample_size=32,
     )
@@ -114,9 +114,12 @@ def test_build_sharded_step_smoke():
         np.random.default_rng(0).standard_normal((80, 3)), jnp.float32
     )
     key = jax.random.PRNGKey(0)
-    new_pos, key = step(pos, jnp.asarray(edges_p), jnp.asarray(valid), key)
+    new_pos, key = step(
+        pos, jnp.asarray(edges_p), jnp.asarray(valid), key, ops
+    )
     assert np.isfinite(np.asarray(new_pos)).all()
     (new_pos2, _) = multi(
-        pos, jnp.asarray(edges_p), jnp.asarray(valid), key, num_steps=3
+        pos, jnp.asarray(edges_p), jnp.asarray(valid), key, ops,
+        num_steps=3,
     )
     assert np.isfinite(np.asarray(new_pos2)).all()
