@@ -51,6 +51,7 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
             n_neighbors=self.n_neighbors,
             sample_size=self.sample_size,
             nb=self._nb,
+            knn_recall_target=self.knn_recall_target,
         )
 
         # The inherited run_layout/update_positions thread self._step_ops;

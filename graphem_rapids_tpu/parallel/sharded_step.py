@@ -56,6 +56,7 @@ def pad_edges(edges_np, n_devices):
 
 def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                        n_neighbors, sample_size, nb=None,
+                       knn_recall_target=0.95, use_approx_local=None,
                        axis_name=EDGE_AXIS):
     """Build the jitted multi-chip update step.
 
@@ -89,6 +90,15 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         jnp.bfloat16
         if mesh.devices.flat[0].platform == "tpu" else None
     )
+    # approx_min_k local top-k only pays off on real TPU tiles with a
+    # meaningful reference count; CPU (test) meshes keep the exact path
+    # so the 1-vs-N allclose gates stay exact. use_approx_local=None
+    # auto-selects; pass a bool to override (perf A/Bs).
+    if use_approx_local is None:
+        use_approx_local = (
+            knn_dtype is not None and (E // n_devices) >= 1024
+        )
+    recall_target = float(knn_recall_target)
 
     # Graph-shaped arrays ride as jit ARGUMENTS via the step_ops pytree,
     # not closure constants — closed-over tables embed tens of MB of
@@ -173,18 +183,43 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         # ---- sharded kNN: local top-(k+1), all_gather, exact merge --- #
         mid_loc = (p1 + p2) / 2.0
         mid_loc = jnp.where(valid_loc[:, None] > 0, mid_loc, 1e30)
-        if knn_dtype is not None:
-            # bf16 stays through the local top-k AND the all_gather merge
-            # (halves both the distance traffic and the candidate wire)
-            d2 = squared_distances(
-                q_mid.astype(knn_dtype), mid_loc.astype(knn_dtype)
-            )
-        else:
-            d2 = squared_distances(q_mid, mid_loc)      # (S, E_loc) sharded
         kk = min(k + 1, E_loc)
-        neg, idx_loc = jax.lax.top_k(-d2, kk)
+        if use_approx_local:
+            # TPU meshes: local top-k via approx_min_k (PartialReduce) —
+            # the same tier the single-chip approx path uses; the
+            # reference count must be lane-padded (ragged E measured
+            # ~500x slower, BASELINE.md). Pad rows sit at 1e30 so they
+            # are never selected; clamp guards the tiny-shard corner.
+            E_lane = -(-E_loc // 128) * 128
+            if E_lane != E_loc:
+                mid_loc = jnp.concatenate([
+                    mid_loc,
+                    jnp.full(
+                        (E_lane - E_loc, mid_loc.shape[1]), 1e30,
+                        mid_loc.dtype,
+                    ),
+                ])
+            dt_ = knn_dtype if knn_dtype is not None else q_mid.dtype
+            d2 = squared_distances(
+                q_mid.astype(dt_), mid_loc.astype(dt_)
+            )
+            vals_loc, idx_loc = jax.lax.approx_min_k(
+                d2, kk, recall_target=recall_target
+            )
+            idx_loc = jnp.minimum(idx_loc, E_loc - 1)
+        else:
+            if knn_dtype is not None:
+                # bf16 stays through the local top-k AND the all_gather
+                # merge (halves distance traffic and candidate wire)
+                d2 = squared_distances(
+                    q_mid.astype(knn_dtype), mid_loc.astype(knn_dtype)
+                )
+            else:
+                d2 = squared_distances(q_mid, mid_loc)  # (S, E_loc)
+            neg, idx_loc = jax.lax.top_k(-d2, kk)
+            vals_loc = -neg
         idx_glob = idx_loc.astype(jnp.int32) + i * E_loc
-        vals_g = jax.lax.all_gather(-neg, axis_name)     # (ndev, S, kk)
+        vals_g = jax.lax.all_gather(vals_loc, axis_name)  # (ndev, S, kk)
         idx_g = jax.lax.all_gather(idx_glob, axis_name)
         vals_m = jnp.moveaxis(vals_g, 0, 1).reshape(S, n_devices * kk)
         idx_m = jnp.moveaxis(idx_g, 0, 1).reshape(S, n_devices * kk)
