@@ -378,7 +378,15 @@ class GraphEmbedderTPU:
             },
             "edges": edges,
         }
-        if nb_overflow is not None:
+        ov_plan = nb.get("overflow_plan")
+        if ov_plan is not None:
+            # plan arrays are jit arguments; the block size is static
+            step_ops["ov_plan"] = {
+                "pairs": jnp.asarray(ov_plan["pairs"]),
+                "block_hub": jnp.asarray(ov_plan["block_hub"]),
+                "hub_ids": jnp.asarray(ov_plan["hub_ids"]),
+            }
+        elif nb_overflow is not None:
             step_ops["nb_overflow"] = nb_overflow
         if overflow_lt is not None:
             step_ops["overflow_lt"] = overflow_lt
@@ -387,10 +395,14 @@ class GraphEmbedderTPU:
 
         def raw_step(positions, sampled_indices, ops):
             nb_rt = {**ops["nb"], **nb_static}
+            plan_rt = (
+                {**ops["ov_plan"], "block": ov_plan["block"]}
+                if "ov_plan" in ops else None
+            )
             pn = positions[nb_rt["table"]]
             spring = spring_forces_from_gathered(
                 positions, pn, nb_rt, k_attr, L_min,
-                ops.get("nb_overflow"),
+                ops.get("nb_overflow"), plan_rt,
             )
             if k_eff > 1:
                 if fused_refs:

