@@ -6,6 +6,10 @@ than the missing fused-midpoints path explains. Variants isolate the
 local-top-k flavor and the spring formulation to find the toll.
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")  # noqa: E402
+
 import time
 
 import jax

@@ -6,6 +6,10 @@ Isolated dispatches carry ~26 ms of tunnel round-trip overhead
 Also probes one-shot kNN cost vs reference count and dtype.
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")  # noqa: E402
+
 import time
 
 import jax

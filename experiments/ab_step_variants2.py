@@ -5,6 +5,10 @@ then measures actual kNN recall of each approx variant against exact
 neighbors on midpoints from a partially converged layout.
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")  # noqa: E402
+
 import time
 
 import jax

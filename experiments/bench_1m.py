@@ -5,6 +5,10 @@ in one fused block. First compile can take ~10 min on this toolchain
 (persistent cache makes later processes warm).
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")  # noqa: E402
+
 import time
 
 import numpy as np

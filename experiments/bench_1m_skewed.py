@@ -8,6 +8,10 @@ spectral-init auto tier (n >= 500K). Degrees follow a Zipf-ish tail
 would lean on cuVS ivf indices.
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")  # noqa: E402
+
 import time
 
 import numpy as np

@@ -4,6 +4,10 @@ Times each piece of the iteration in isolation (jitted, block_until_ready,
 median of reps) to attribute the step budget. Run on the real TPU.
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")  # noqa: E402
+
 import time
 
 import jax

@@ -5,6 +5,10 @@ distance compute, fused vs direct midpoints. The correlation is the
 reference's own headline quality metric (benchmark.py:166-243).
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")  # noqa: E402
+
 import numpy as np
 from scipy.stats import spearmanr
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.forces import intersection_forces
+from ..ops.forces import apply_overflow_plan, intersection_forces
 from ..ops.knn import squared_distances
 from .mesh import EDGE_AXIS
 
@@ -119,7 +119,18 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             [jnp.arange(n, dtype=jnp.int32),
              jnp.zeros(n_pad - n, jnp.int32)]
         ) if n_pad != n else jnp.arange(n, dtype=jnp.int32)
-        if len(nb["overflow"]):
+        ov_plan = nb.get("overflow_plan")
+        if ov_plan is not None:
+            # block-fold plan (ops/forces.py build_overflow_plan): same
+            # formulation as the single-chip step, so 1-vs-N trajectories
+            # stay bitwise-comparable; plan arrays are jit arguments,
+            # the block size is static
+            step_ops["ov_plan"] = {
+                "pairs": jnp.asarray(ov_plan["pairs"]),
+                "block_hub": jnp.asarray(ov_plan["block_hub"]),
+                "hub_ids": jnp.asarray(ov_plan["hub_ids"]),
+            }
+        elif len(nb["overflow"]):
             step_ops["nb_overflow"] = jnp.asarray(nb["overflow"])
 
     def sharded_body(positions, edges_full, valid_full, key, ops):
@@ -151,7 +162,14 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             spring = jax.lax.all_gather(
                 spring_loc, axis_name, tiled=True
             )[:n]
-            if "nb_overflow" in step_ops:
+            if "ov_plan" in step_ops:
+                # replicated on every device (no collective needed)
+                spring = apply_overflow_plan(
+                    spring, positions,
+                    {**ops["ov_plan"], "block": ov_plan["block"]},
+                    k_attr, L_min,
+                )
+            elif "nb_overflow" in step_ops:
                 # tiny, replicated on every device (no collective needed)
                 nb_overflow = ops["nb_overflow"]
                 pvo = positions[nb_overflow[:, 0]]

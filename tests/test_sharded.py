@@ -155,3 +155,41 @@ def test_build_sharded_step_approx_local_branch():
         num_steps=3,
     )
     assert np.isfinite(np.asarray(new_pos)).all()
+
+
+@pytest.mark.fast
+def test_sharded_overflow_plan_matches_single_chip():
+    """Skewed graph where the table cap spills hub rows into the
+    block-fold overflow plan (ops/forces.py build_overflow_plan): the
+    sharded step applies the same plan replicated per device, so the
+    trajectory must match the single-chip engine."""
+    import scipy.sparse as sp
+
+    n = 300
+    rng = np.random.default_rng(3)
+    e = [(0, j) for j in range(1, 250)] + [(1, j) for j in range(2, 180)]
+    e += [(min(a, b), max(a, b))
+          for a, b in rng.integers(0, n, (500, 2)) if a != b]
+    e = np.unique(np.array(sorted(set(e)), np.int64), axis=0)
+    adj = sp.coo_matrix(
+        (np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(n, n)
+    ).tocsr()
+    adj = adj + adj.T
+    adj.data[:] = 1
+
+    single = gr.GraphEmbedderTPU(
+        adj, n_components=3, seed=11, verbose=False, sample_size=64,
+        n_neighbors=5,
+    )
+    sharded = ShardedGraphEmbedder(
+        adj, n_components=3, mesh=make_mesh(4), seed=11, verbose=False,
+        sample_size=64, n_neighbors=5,
+    )
+    assert single._nb.get("overflow_plan") is not None
+    assert "ov_plan" in sharded._step_ops
+    for _ in range(3):
+        single.update_positions()
+        sharded.update_positions()
+    np.testing.assert_allclose(
+        sharded.positions, single.positions, rtol=5e-3, atol=5e-4
+    )
