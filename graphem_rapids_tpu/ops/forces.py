@@ -230,6 +230,11 @@ def build_overflow_plan(overflow):
       'pairs'     : (O', 2) int32 padded directed pairs, hub-contiguous
       'block_hub' : (O'/B,) int32 hub index of each block (sorted)
       'hub_ids'   : (H,) int32 hub vertex ids
+      'pad_count' : (H,) float32 — number of (hub, hub) pad rows per hub,
+                    for consumers whose pad rows are NOT zero (the spring
+                    force of a self-pair is exactly zero, but a gather-sum
+                    matvec must subtract pad_count * x_hub — see
+                    ops/laplacian.py lap_mm)
       'block'     : int, the block size B
     """
     n_over = len(overflow)
@@ -265,6 +270,7 @@ def build_overflow_plan(overflow):
         "pairs": pairs,
         "block_hub": block_hub,
         "hub_ids": hub_ids.astype(np.int32),
+        "pad_count": (padded - counts).astype(np.float32),
         "block": B,
     }
 

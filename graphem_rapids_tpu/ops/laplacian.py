@@ -56,17 +56,23 @@ def _adjacency_matvec_plan(A, cap=None):
     Same trick as ops/forces.py build_neighbor_table (scatter is ~5x
     slower than a dense gather + row-sum on v5e and ~15x slower to
     compile): rows self-padded, so the matvec subtracts pad_count * x_v.
-    Skewed tails beyond ``cap`` columns go to a COO overflow handled by
-    segment_sum.
+    Skewed tails beyond ``cap`` columns go to a COO overflow, folded in
+    hub-aligned blocks when profitable (ops/forces.py
+    build_overflow_plan — here the (hub, hub) pad rows are NOT free, so
+    the per-hub block partials subtract plan['pad_count'] * x_hub) or
+    through segment_sum otherwise. The cap comes from the same
+    degree-histogram cost model as the spring table
+    (_optimal_table_cap).
     """
     import jax.numpy as jnp
+
+    from .forces import _optimal_table_cap, build_overflow_plan
 
     n = A.shape[0]
     A = A.tocsr()
     deg = np.diff(A.indptr)
-    mean_deg = max(1, int(np.ceil(deg.mean()))) if n else 1
     if cap is None:
-        cap = int(min(max(deg.max(), 1), max(32, 4 * mean_deg)))
+        cap = _optimal_table_cap(deg, n) if n else 1
     cap = max(cap, 1)
 
     src = np.repeat(np.arange(n), deg)
@@ -79,17 +85,25 @@ def _adjacency_matvec_plan(A, cap=None):
     overflow = np.column_stack([src[~in_table], dst[~in_table]]).astype(
         np.int32
     )
+    ov_plan = build_overflow_plan(overflow)
+    if ov_plan is not None:
+        ov_plan = {
+            k: (jnp.asarray(v) if k != "block" else v)
+            for k, v in ov_plan.items()
+        }
+        overflow = np.zeros((0, 2), np.int32)
     return {
         "table": jnp.asarray(table),
         "pad_count": jnp.asarray(pad_count),
         "overflow": jnp.asarray(overflow),
+        "ov_plan": ov_plan,
         "deg": jnp.asarray(deg.astype(np.float32)),
         "n": n,
     }
 
 
-def _cheb_run(X0, table, pad_count, dinv, v0, overflow, *, k, degree,
-              n_outer, n):
+def _cheb_run(X0, table, pad_count, dinv, v0, overflow, ov_plan=None, *,
+              k, degree, n_outer, n, ov_block=0):
     """Jitted Chebyshev subspace iteration (module-level by design).
 
     Every array is an ARGUMENT, not a closure constant: closing over the
@@ -106,7 +120,20 @@ def _cheb_run(X0, table, pad_count, dinv, v0, overflow, *, k, degree,
         """L @ X for (n, s) blocks; gather + row-sum, no scatter."""
         Y = dinv[:, None] * X
         AY = Y[table].sum(axis=1) - pad_count[:, None] * Y
-        if overflow.shape[0] > 0:
+        if ov_plan is not None:
+            # hub overflow via the block-fold plan: dense per-block sums,
+            # then a tiny scatter onto the H hub rows; (hub, hub) pad
+            # rows each contributed Y[hub], removed via pad_count
+            hub_ids = ov_plan["hub_ids"]
+            Yo = Y[ov_plan["pairs"][:, 1]]
+            blk = Yo.reshape(-1, ov_block, Yo.shape[-1]).sum(axis=1)
+            hub = jax.ops.segment_sum(
+                blk, ov_plan["block_hub"],
+                num_segments=hub_ids.shape[0], indices_are_sorted=True,
+            )
+            hub = hub - ov_plan["pad_count"][:, None] * Y[hub_ids]
+            AY = AY.at[hub_ids].add(hub)
+        elif overflow.shape[0] > 0:
             AY = AY + jax.ops.segment_sum(
                 Y[overflow[:, 1]], overflow[:, 0], num_segments=n
             )
@@ -155,7 +182,8 @@ def _get_cheb_run():
         import jax
 
         _cheb_run_jit = functools.partial(
-            jax.jit, static_argnames=("k", "degree", "n_outer", "n")
+            jax.jit,
+            static_argnames=("k", "degree", "n_outer", "n", "ov_block"),
         )(_cheb_run)
     return _cheb_run_jit
 
@@ -207,9 +235,15 @@ def _spectral_chebyshev(adjacency, n_components, seed, n_outer=8,
     X0 = jnp.asarray(
         rng.standard_normal((n, s)).astype(np.float32)
     )
+    ov_plan = plan["ov_plan"]
+    ov_arrays = (
+        {kk: v for kk, v in ov_plan.items() if kk != "block"}
+        if ov_plan is not None else None
+    )
     X, ritz = _get_cheb_run()(
         X0, plan["table"], plan["pad_count"], dinv, v0, plan["overflow"],
-        k=k, degree=degree, n_outer=n_outer, n=n,
+        ov_arrays, k=k, degree=degree, n_outer=n_outer, n=n,
+        ov_block=(ov_plan["block"] if ov_plan is not None else 0),
     )
     ritz = np.asarray(ritz)
     if not np.all(np.isfinite(ritz)):

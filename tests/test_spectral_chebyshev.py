@@ -51,8 +51,6 @@ def test_matvec_plan_matches_scipy_spmv():
     G = nx.star_graph(200)  # hub degree 200 >> cap -> overflow path
     G.add_edges_from((i, i + 1) for i in range(1, 150))
     A = sp.csr_matrix(nx.adjacency_matrix(G, dtype=int))
-    plan = lap._adjacency_matvec_plan(A)
-    assert plan["overflow"].shape[0] > 0
 
     import jax.numpy as jnp
     import jax
@@ -60,16 +58,42 @@ def test_matvec_plan_matches_scipy_spmv():
     rng = np.random.default_rng(0)
     X = rng.standard_normal((A.shape[0], 4)).astype(np.float32)
     Xj = jnp.asarray(X)
-    table, pad_count, overflow = (
-        plan["table"], plan["pad_count"], plan["overflow"]
-    )
-    AX = Xj[table].sum(axis=1) - pad_count[:, None] * Xj
-    AX = AX + jax.ops.segment_sum(
-        Xj[overflow[:, 1]], overflow[:, 0], num_segments=A.shape[0]
-    )
+
+    def gather_spmv(plan):
+        table, pad_count = plan["table"], plan["pad_count"]
+        AX = Xj[table].sum(axis=1) - pad_count[:, None] * Xj
+        ov_plan, overflow = plan["ov_plan"], plan["overflow"]
+        if ov_plan is not None:
+            hub_ids = ov_plan["hub_ids"]
+            Yo = Xj[ov_plan["pairs"][:, 1]]
+            blk = Yo.reshape(-1, ov_plan["block"], Yo.shape[-1]).sum(1)
+            hub = jax.ops.segment_sum(
+                blk, ov_plan["block_hub"],
+                num_segments=hub_ids.shape[0], indices_are_sorted=True,
+            )
+            hub = hub - ov_plan["pad_count"][:, None] * Xj[hub_ids]
+            AX = AX.at[hub_ids].add(hub)
+        elif overflow.shape[0] > 0:
+            AX = AX + jax.ops.segment_sum(
+                Xj[overflow[:, 1]], overflow[:, 0],
+                num_segments=A.shape[0],
+            )
+        return np.asarray(AX)
+
+    # default: the hub spills into the block-fold plan
+    plan = lap._adjacency_matvec_plan(A)
+    assert plan["ov_plan"] is not None
     # fp32 gather-sum vs scipy's fp64 SpMV: tolerance covers summation
     # order on the 200-degree hub row, not a structural mismatch.
-    np.testing.assert_allclose(np.asarray(AX), A @ X, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(gather_spmv(plan), A @ X,
+                               rtol=1e-3, atol=1e-4)
+
+    # full-width cap: no overflow at all
+    plan_full = lap._adjacency_matvec_plan(A, cap=201)
+    assert plan_full["ov_plan"] is None
+    assert plan_full["overflow"].shape[0] == 0
+    np.testing.assert_allclose(gather_spmv(plan_full), A @ X,
+                               rtol=1e-3, atol=1e-4)
 
 
 @pytest.mark.fast
