@@ -31,8 +31,11 @@ import scipy.sparse as sp
 
 from ..ops.forces import (
     build_neighbor_table,
+    build_neighbor_table_binned,
     intersection_forces,
+    midpoint_refs_binned,
     midpoint_refs_from_gathered,
+    spring_forces_binned,
     spring_forces_from_gathered,
     spring_forces_nbtable,
 )
@@ -98,6 +101,13 @@ class GraphEmbedderTPU:
         gather (no second edge gather) instead of gathering edge endpoints.
         None (default) auto-enables it for the approx strategy when the
         slot-table padding overhead is bounded.
+    binned_table : bool, optional
+        Degree-binned neighbor tables over an internal degree-sorted
+        vertex renumbering (ops/forces.py build_neighbor_table_binned):
+        the spring gather's slot count drops toward 2E on non-regular
+        degree distributions. None (default) lets the bucket cost model
+        decide; True forces binning with zero per-bucket overhead
+        allowance; False keeps the flat table.
     memory_efficient : bool, default=True
         Kept for API compatibility; chunked strategies are always available.
     verbose : bool, default=True
@@ -108,6 +118,10 @@ class GraphEmbedderTPU:
         Accepted for reference API compatibility ('cpu', 'tpu', jax.Device);
         None selects jax.devices()[0].
     """
+
+    # Subclasses that consume the flat neighbor table directly (the
+    # sharded mesh tier) opt out of the degree-binned structure.
+    _wants_binned_table = True
 
     def __init__(
         self,
@@ -126,6 +140,7 @@ class GraphEmbedderTPU:
         knn_recall_target=0.95,
         init="auto",
         fused_midpoints=None,
+        binned_table=None,
         memory_efficient=True,
         verbose=True,
         logger_instance=None,
@@ -154,6 +169,7 @@ class GraphEmbedderTPU:
         self.knn_compute_dtype = knn_compute_dtype
         self.knn_recall_target = float(knn_recall_target)
         self.fused_midpoints = fused_midpoints
+        self.binned_table = binned_table
         self._iteration = 0
 
         if self.n_components <= 0:
@@ -195,10 +211,37 @@ class GraphEmbedderTPU:
                 )
 
         with jax.default_device(self.device):
-            self.edges = jnp.asarray(edges_np, jnp.int32)
             # Gather-based aggregation plan: dense neighbor table + COO
-            # overflow (4x faster than segment_sum scatter on TPU).
-            self._nb = build_neighbor_table(edges_np, self.n)
+            # overflow (4x faster than segment_sum scatter on TPU). On
+            # non-regular degree distributions the degree-binned variant
+            # replaces the single table with per-degree-range tables over
+            # an INTERNAL degree-sorted vertex renumbering (gather cost
+            # is proportional to total slot count — BASELINE.md); the
+            # renumbering never leaks: `positions`, `_edges_np`, display,
+            # checkpoints, and injected sample indices all speak user ids.
+            want_binned = (
+                self._wants_binned_table if binned_table is None
+                else bool(binned_table)
+            )
+            nbb = (
+                build_neighbor_table_binned(
+                    edges_np, self.n,
+                    overhead_rows=0 if binned_table else 4096,
+                )
+                if want_binned and self.n_edges > 0 else None
+            )
+            if nbb is not None:
+                self._nb = nbb
+                self._perm = nbb["perm"]
+                self._inv_perm = nbb["inv_perm"]
+                self._edge_map = nbb["edge_map"]
+                self.edges = jnp.asarray(nbb["edges_int"], jnp.int32)
+            else:
+                self._nb = build_neighbor_table(edges_np, self.n)
+                self._perm = None
+                self._inv_perm = None
+                self._edge_map = None
+                self.edges = jnp.asarray(edges_np, jnp.int32)
             self._nb_overflow = (
                 jnp.asarray(self._nb["overflow"])
                 if len(self._nb["overflow"]) else None
@@ -222,6 +265,8 @@ class GraphEmbedderTPU:
             init_np = spectral_init(
                 adjacency, self.n_components, method=init, seed=seed
             )
+            if self._perm is not None:
+                init_np = init_np[self._perm]
             self._positions = jnp.asarray(init_np, self.dtype)
 
         self._step = self._build_step()
@@ -371,13 +416,22 @@ class GraphEmbedderTPU:
         # experiments/cheb_bisect.py). Static ints (n, ref_cap) stay in
         # the closure; raw_step re-merges them into the nb dict the
         # forces helpers expect.
+        binned = "buckets" in nb
         step_ops = {
             "nb": {
                 k_: v_ for k_, v_ in nb.items()
-                if k_ in ("table", "ref_edge", "ref_valid", "edge_ref")
+                if k_ in ("ref_edge", "ref_valid", "edge_ref")
+                or (k_ == "table" and not binned)
             },
             "edges": edges,
         }
+        if binned:
+            # per-bucket tables ride as a jit-argument list; the bucket
+            # geometry (starts/caps) stays static in the closure
+            step_ops["tables"] = [g["table"] for g in nb["buckets"]]
+            step_ops["edge_order"] = jnp.asarray(
+                nb["edge_user"], jnp.int32
+            )
         ov_plan = nb.get("overflow_plan")
         if ov_plan is not None:
             # plan arrays are jit arguments; the block size is static
@@ -390,7 +444,9 @@ class GraphEmbedderTPU:
             step_ops["nb_overflow"] = nb_overflow
         if overflow_lt is not None:
             step_ops["overflow_lt"] = overflow_lt
-        nb_static = {"n": nb["n"], "ref_cap": nb["ref_cap"]}
+        nb_static = {"n": nb["n"]}
+        if not binned:
+            nb_static["ref_cap"] = nb["ref_cap"]
         self._step_ops = step_ops
 
         def raw_step(positions, sampled_indices, ops):
@@ -399,16 +455,30 @@ class GraphEmbedderTPU:
                 {**ops["ov_plan"], "block": ov_plan["block"]}
                 if "ov_plan" in ops else None
             )
-            pn = positions[nb_rt["table"]]
-            spring = spring_forces_from_gathered(
-                positions, pn, nb_rt, k_attr, L_min,
-                ops.get("nb_overflow"), plan_rt,
-            )
+            if binned:
+                pn_list = [positions[t] for t in ops["tables"]]
+                spring = spring_forces_binned(
+                    positions, pn_list, nb, k_attr, L_min,
+                    ops.get("nb_overflow"), plan_rt,
+                )
+            else:
+                pn = positions[nb_rt["table"]]
+                spring = spring_forces_from_gathered(
+                    positions, pn, nb_rt, k_attr, L_min,
+                    ops.get("nb_overflow"), plan_rt,
+                )
             if k_eff > 1:
                 if fused_refs:
-                    refs = midpoint_refs_from_gathered(
-                        positions, pn, nb_rt, ops.get("overflow_lt")
-                    )
+                    if binned:
+                        refs = midpoint_refs_binned(
+                            positions, pn_list,
+                            {**nb, "ref_valid": nb_rt["ref_valid"]},
+                            ops.get("overflow_lt"),
+                        )
+                    else:
+                        refs = midpoint_refs_from_gathered(
+                            positions, pn, nb_rt, ops.get("overflow_lt")
+                        )
                     queries = refs[nb_rt["edge_ref"][sampled_indices]]
                     slot_idx, _ = knn(
                         queries, refs, k_eff,
@@ -429,7 +499,7 @@ class GraphEmbedderTPU:
                     knn_idx = knn_idx[:, 1:]  # drop self column
                 inter = intersection_forces(
                     positions, ops["edges"], knn_idx, sampled_indices,
-                    k_inter,
+                    k_inter, edge_order=ops.get("edge_order"),
                 )
             else:
                 # a single edge has no neighbor edges to intersect
@@ -474,11 +544,22 @@ class GraphEmbedderTPU:
 
     @property
     def positions(self):
-        """Positions as a host numpy array (reference :324-327)."""
-        return np.asarray(self._positions)
+        """Positions as a host numpy array (reference :324-327).
+
+        Always in USER vertex order; the degree-binned engine's internal
+        renumbering is undone here (host-side fancy index, off the hot
+        path).
+        """
+        pos = np.asarray(self._positions)
+        if self._perm is not None:
+            pos = pos[self._inv_perm]
+        return pos
 
     @positions.setter
     def positions(self, value):
+        value = np.asarray(value)
+        if self._perm is not None:
+            value = value[self._perm]
         with jax.default_device(self.device):
             self._positions = jnp.asarray(value, self.dtype)
 
@@ -496,6 +577,11 @@ class GraphEmbedderTPU:
         if self.n_edges == 0:
             return
         if sample_indices is not None:
+            sample_indices = np.asarray(sample_indices)
+            if self._edge_map is not None:
+                # injected samples speak USER edge ids; the binned engine
+                # renumbers edges internally
+                sample_indices = self._edge_map[sample_indices]
             self._positions = self._raw_step(
                 self._positions, jnp.asarray(sample_indices, jnp.int32),
                 self._step_ops,
@@ -569,8 +655,10 @@ class GraphEmbedderTPU:
                 f"Checkpoint n_components={int(data['n_components'])} != "
                 f"{self.n_components}"
             )
+        # checkpoints store USER-order positions; the setter re-applies
+        # the internal renumbering when the binned engine is active
+        self.positions = data["positions"]
         with jax.default_device(self.device):
-            self._positions = jnp.asarray(data["positions"], self.dtype)
             self._key = jnp.asarray(data["key"], jnp.uint32)
         self._iteration = int(data["iteration"])
 

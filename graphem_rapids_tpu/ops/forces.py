@@ -208,6 +208,273 @@ def build_neighbor_table(edges_np, n, cap=None):
 _SCATTER_ROW_COST = 14
 
 
+def plan_degree_buckets(deg_clipped, max_buckets=8, overhead_rows=4096):
+    """Partition vertices into degree buckets minimizing total table rows.
+
+    The HBM gather cost of the spring pass is proportional to the TOTAL
+    table slot count (measured flat at ~6 ns/row whether issued as one
+    gather or several — experiments/gather_bucket_probe.py), so splitting
+    the single (n, C) table into per-degree-range tables whose caps hug
+    the local maximum degree removes most self-pad rows: for binomial or
+    heavy-tailed degree distributions that is a 1.3-1.5x cut in the
+    step's dominant term.
+
+    Exact DP over the distinct clipped-degree values: a bucket covering
+    distinct values (v_i..v_j] costs count * v_j + overhead_rows (the
+    per-extra-gather-op allowance). Returns [(count, cap), ...] ascending
+    by cap; a single-entry result means binning buys nothing.
+    """
+    vals, counts = np.unique(deg_clipped, return_counts=True)
+    m = len(vals)
+    pc = np.concatenate([[0], np.cumsum(counts)]).astype(np.float64)
+    best = np.full(m + 1, np.inf)
+    best[0] = 0.0
+    choice = np.zeros(m + 1, np.int64)
+    for j in range(1, m + 1):
+        cand = best[:j] + (pc[j] - pc[:j]) * vals[j - 1] + overhead_rows
+        i = int(np.argmin(cand))
+        best[j], choice[j] = cand[i], i
+    buckets = []
+    j = m
+    while j > 0:
+        i = choice[j]
+        buckets.append((int(pc[j] - pc[i]), int(vals[j - 1])))
+        j = i
+    buckets = buckets[::-1]
+    while len(buckets) > max_buckets:
+        extras = [
+            buckets[g][0] * (buckets[g + 1][1] - buckets[g][1])
+            - overhead_rows
+            for g in range(len(buckets) - 1)
+        ]
+        g = int(np.argmin(extras))
+        buckets[g:g + 2] = [
+            (buckets[g][0] + buckets[g + 1][0], buckets[g + 1][1])
+        ]
+    return buckets
+
+
+def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
+    """Degree-binned neighbor tables with an internal vertex renumbering.
+
+    Vertices are stably sorted by (table-cap-clipped) directed degree and
+    partitioned into plan_degree_buckets groups; each group gets its own
+    (count_g, cap_g) self-padded table. Because the renumbering makes
+    groups contiguous, the spring pass assembles per-bucket force blocks
+    by concatenation — no scatter, no inverse-permutation gather on the
+    hot path. Degrees beyond the global cost-model cap still spill to the
+    block-fold overflow plan exactly as in build_neighbor_table.
+
+    Returns None when the bucket plan degenerates to one bucket (the flat
+    table is already optimal — e.g. regular graphs), else a dict:
+      'perm'      : (n,) int64 — internal id -> user id
+      'inv_perm'  : (n,) int64 — user id -> internal id
+      'edges_int' : (E, 2) int64 — internal-id edge list, i<j, lexsorted
+      'edge_map'  : (E,) int64 — user edge index -> internal edge index
+      'buckets'   : list of dicts {'start', 'count', 'cap', 'ref_cap',
+                    'ref_offset', 'table' (count, cap) int32 jnp}
+      'overflow', 'overflow_plan', 'overflow_lt', 'edge_ref', 'ref_edge',
+      'ref_valid', 'n' : as in build_neighbor_table (internal ids; the
+                    flattened ref space is the concatenation of each
+                    bucket's (count_g * ref_cap_g) slots, then overflow)
+    """
+    E = len(edges_user)
+    if E == 0:
+        return None
+    src_u = np.concatenate([edges_user[:, 0], edges_user[:, 1]])
+    deg = np.bincount(src_u.astype(np.int64), minlength=n)
+    C_star = _optimal_table_cap(deg, n)
+    clipped = np.minimum(deg, C_star)
+    spec = plan_degree_buckets(clipped, overhead_rows=overhead_rows)
+    if len(spec) == 1:
+        return None
+
+    perm = np.argsort(clipped, kind="stable")
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+
+    e = np.sort(inv[edges_user], axis=1)
+    order = np.lexsort((e[:, 1], e[:, 0]))
+    edges_int = e[order]
+    edge_map = np.empty(E, np.int64)
+    edge_map[order] = np.arange(E)
+    # internal edge p corresponds to user edge order[p]; the step's pair
+    # dedup compares USER ids to preserve reference semantics
+    edge_user = order
+
+    counts = np.array([c for c, _ in spec], np.int64)
+    caps = np.array([cap for _, cap in spec], np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    vcap = np.repeat(caps, counts)                    # per internal vertex
+
+    src = np.concatenate([edges_int[:, 0], edges_int[:, 1]])
+    dst = np.concatenate([edges_int[:, 1], edges_int[:, 0]])
+    lt_dir = src < dst
+    order2 = np.lexsort((~lt_dir, src))               # i<j slots first
+    src_s, dst_s = src[order2], dst[order2]
+    row_starts = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(src_s, minlength=n), out=row_starts[1:])
+    col = np.arange(len(src_s)) - row_starts[src_s]
+
+    # flat slot space: vertex i owns vcap[i] consecutive slots
+    slot_off = np.concatenate([[0], np.cumsum(vcap)])
+    in_table = col < vcap[src_s]
+    flat_table = np.repeat(
+        np.arange(n, dtype=np.int32), vcap
+    )                                                 # self-pad default
+    flat_table[slot_off[src_s[in_table]] + col[in_table]] = dst_s[in_table]
+
+    overflow = np.column_stack(
+        [src_s[~in_table], dst_s[~in_table]]
+    ).astype(np.int32)
+    overflow_plan = build_overflow_plan(overflow)
+
+    # edge ids by lexicographic key (edges_int is lexsorted)
+    edge_keys = edges_int[:, 0] * n + edges_int[:, 1]
+    pair_keys = np.minimum(src_s, dst_s) * n + np.maximum(src_s, dst_s)
+    eids = np.searchsorted(edge_keys, pair_keys).astype(np.int32)
+
+    # per-bucket kNN ref prefix (same cost model as the flat ref_cap)
+    lt = src_s < dst_s
+    lt_deg = np.bincount(src_s[lt], minlength=n)
+    ref_caps = np.zeros(len(spec), np.int64)
+    for g, (cnt, cap) in enumerate(spec):
+        ld = np.minimum(lt_deg[starts[g]:starts[g] + cnt], cap)
+        hi = int(ld.max()) if cnt else 0
+        if hi == 0:
+            ref_caps[g] = 0  # no i<j slots in this bucket's tables
+            continue
+        best_cost, best_C = None, hi
+        for C in range(1, hi + 1):
+            over = int(np.maximum(ld - C, 0).sum())
+            cost = cnt * C + 13 * over
+            if best_cost is None or cost < best_cost:
+                best_cost, best_C = cost, C
+        ref_caps[g] = best_C
+    vref = np.repeat(ref_caps, counts)
+    ref_off = np.concatenate([[0], np.cumsum(counts * ref_caps)])
+    R_slots = int(ref_off[-1])
+    ref_row_off = np.repeat(ref_off[:-1], counts) + (
+        np.arange(n) - np.repeat(starts, counts)
+    ) * vref
+
+    sel_t = lt & (col < vref[src_s])
+    ref_slot = ref_row_off[src_s[sel_t]] + col[sel_t]
+    ref_valid = np.zeros(R_slots, bool)
+    ref_valid[ref_slot] = True
+    slot_ref_edge = np.zeros(R_slots, np.int32)
+    slot_ref_edge[ref_slot] = eids[sel_t]
+
+    sel_o = lt & ~sel_t
+    overflow_lt = np.column_stack(
+        [src_s[sel_o], dst_s[sel_o]]
+    ).astype(np.int32)
+    edge_ref = np.full(E, -1, np.int64)
+    edge_ref[eids[sel_t]] = ref_slot
+    edge_ref[eids[sel_o]] = R_slots + np.arange(sel_o.sum())
+    ref_edge = np.concatenate([slot_ref_edge, eids[sel_o]])
+
+    buckets = []
+    for g, (cnt, cap) in enumerate(spec):
+        a, b = slot_off[starts[g]], slot_off[starts[g] + cnt]
+        buckets.append({
+            "start": int(starts[g]),
+            "count": int(cnt),
+            "cap": int(cap),
+            "ref_cap": int(ref_caps[g]),
+            "ref_offset": int(ref_off[g]),
+            "table": jnp.asarray(
+                flat_table[a:b].reshape(cnt, cap)
+            ),
+        })
+
+    return {
+        "perm": perm,
+        "inv_perm": inv,
+        "edges_int": edges_int,
+        "edge_map": edge_map,
+        "edge_user": edge_user,
+        "buckets": buckets,
+        "overflow": overflow,
+        "overflow_plan": overflow_plan,
+        "overflow_lt": overflow_lt,
+        "edge_ref": jnp.asarray(edge_ref.astype(np.int32)),
+        "ref_edge": jnp.asarray(ref_edge.astype(np.int32)),
+        "ref_valid": jnp.asarray(ref_valid),
+        "n": n,
+    }
+
+
+def spring_forces_binned(positions, pn_list, nbb, k_attr, L_min,
+                         overflow_edges=None, overflow_plan=None):
+    """Spring forces over the degree-binned tables (gather + row-sum).
+
+    ``pn_list[g] = positions[buckets[g]['table']]``. Internal vertex ids
+    are degree-contiguous, so the per-bucket force blocks concatenate
+    into the (n, d) array directly — no scatter, no permutation gather.
+    """
+    blocks = []
+    for g, pn in zip(nbb["buckets"], pn_list):
+        pv = jax.lax.slice_in_dim(
+            positions, g["start"], g["start"] + g["count"]
+        )
+        if g["cap"] == 0:
+            blocks.append(jnp.zeros_like(pv))
+            continue
+        diff = pn - pv[:, None, :]
+        dist = jnp.linalg.norm(diff, axis=-1, keepdims=True) + EPS
+        f = (-k_attr * (dist - L_min)) * (diff / dist)
+        blocks.append(f.sum(axis=1))
+    forces = jnp.concatenate(blocks, axis=0)
+    if overflow_plan is not None:
+        forces = apply_overflow_plan(
+            forces, positions, overflow_plan, k_attr, L_min
+        )
+    elif overflow_edges is not None and overflow_edges.shape[0] > 0:
+        fo = _overflow_spring(positions, overflow_edges, k_attr, L_min)
+        forces = forces + jax.ops.segment_sum(
+            fo, overflow_edges[:, 0], num_segments=nbb["n"]
+        )
+    return forces
+
+
+def midpoint_refs_binned(positions, pn_list, nbb, overflow_lt=None):
+    """Edge-midpoint kNN reference set from the binned spring gathers.
+
+    Binned counterpart of midpoint_refs_from_gathered: slot (v, s) of
+    bucket g holds (pos[v] + pn_g[v - start, s]) / 2 over the first
+    ref_cap_g columns; buckets concatenate into the flattened ref space
+    nbb['ref_edge'] / nbb['ref_valid'] index, then overflow midpoints
+    append.
+    """
+    d = positions.shape[1]
+    parts = []
+    for g, pn in zip(nbb["buckets"], pn_list):
+        rc = min(g["ref_cap"], g["cap"])
+        if rc == 0:
+            continue
+        pv = jax.lax.slice_in_dim(
+            positions, g["start"], g["start"] + g["count"]
+        )
+        mid = (pv[:, None, :] + pn[:, :rc]) * 0.5
+        parts.append(mid.reshape(g["count"] * rc, d))
+    if not parts:
+        refs = jnp.zeros((0, d), positions.dtype)
+    else:
+        refs = jnp.concatenate(parts, axis=0)
+    refs = jnp.where(
+        nbb["ref_valid"][:, None],
+        refs,
+        jnp.asarray(REF_PAD_VALUE, positions.dtype),
+    )
+    if overflow_lt is not None and overflow_lt.shape[0] > 0:
+        ov_mid = (
+            positions[overflow_lt[:, 0]] + positions[overflow_lt[:, 1]]
+        ) * 0.5
+        refs = jnp.concatenate([refs, ov_mid], axis=0)
+    return refs
+
+
 def build_overflow_plan(overflow):
     """Block-fold plan for the neighbor-table overflow scatter.
 
@@ -438,7 +705,8 @@ def _repulsion_terms(positions, edges_i, edges_j, weight, k_inter):
 
 
 def intersection_forces(
-    positions, edges, knn_indices, sampled_indices, k_inter, pair_weight=None
+    positions, edges, knn_indices, sampled_indices, k_inter,
+    pair_weight=None, edge_order=None,
 ):
     """Inverse-distance repulsion at geometrically intersecting edge pairs.
 
@@ -458,13 +726,22 @@ def intersection_forces(
     k_inter : float repulsion constant
     pair_weight : optional (S*k,) float — extra multiplicative weight
         (used by the sharded path to mask padded candidates).
+    edge_order : optional (E,) int — comparison key for the i<j pair
+        dedup. The reference dedups on USER edge indices
+        (embedder_pytorch.py:672); an engine whose edge list is
+        internally renumbered (the degree-binned table) passes its
+        internal->user edge-id map here so the same directed candidate
+        survives the filter and trajectories stay oracle-exact.
     """
     n = positions.shape[0]
     S, k = knn_indices.shape
     candidate_i = jnp.repeat(sampled_indices, k)
     candidate_j = knn_indices.reshape(-1)
 
-    valid = candidate_i < candidate_j
+    if edge_order is not None:
+        valid = edge_order[candidate_i] < edge_order[candidate_j]
+    else:
+        valid = candidate_i < candidate_j
     edges_i = edges[candidate_i]
     edges_j = edges[candidate_j]
     share = (

@@ -25,7 +25,16 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
     engine and replaces the layout step with the shard_map version.
     """
 
+    # the sharded step slices one flat vertex table across the mesh;
+    # the degree-binned structure is a single-chip optimization for now
+    _wants_binned_table = False
+
     def __init__(self, adjacency, n_components=2, mesh=None, **kwargs):
+        if kwargs.get("binned_table"):
+            raise ValueError(
+                "binned_table is a single-chip optimization; the sharded "
+                "tier slices one flat vertex table across the mesh"
+            )
         self.mesh = mesh if mesh is not None else default_mesh()
         self._n_mesh_devices = int(
             np.prod(list(self.mesh.shape.values()))
