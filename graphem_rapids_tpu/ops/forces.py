@@ -153,12 +153,13 @@ def build_neighbor_table(edges_np, n, cap=None):
     ).astype(np.int32)
     overflow_plan = build_overflow_plan(overflow)
 
-    # Slot <-> edge maps. edges_np is lexicographically sorted (CSR nonzero
-    # order with i<j), so edge ids resolve by searchsorted on i*n+j keys.
+    # Slot <-> edge maps: directed entry k (< E) is edge k in i->j
+    # direction, entry E+k the reverse — edge ids are known by
+    # construction, no key search needed.
     E = len(edges_np)
-    edge_keys = edges_np[:, 0].astype(np.int64) * n + edges_np[:, 1]
-    pair_keys = np.minimum(src_s, dst_s) * n + np.maximum(src_s, dst_s)
-    eids = np.searchsorted(edge_keys, pair_keys).astype(np.int32)
+    eids = np.concatenate(
+        [np.arange(E, dtype=np.int32), np.arange(E, dtype=np.int32)]
+    )[order]
 
     lt = src_s < dst_s  # each edge's unique i<j directed slot
     # ref_cap: smallest column prefix whose total slot count (n*C) plus
@@ -329,10 +330,11 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
     ).astype(np.int32)
     overflow_plan = build_overflow_plan(overflow)
 
-    # edge ids by lexicographic key (edges_int is lexsorted)
-    edge_keys = edges_int[:, 0] * n + edges_int[:, 1]
-    pair_keys = np.minimum(src_s, dst_s) * n + np.maximum(src_s, dst_s)
-    eids = np.searchsorted(edge_keys, pair_keys).astype(np.int32)
+    # directed entry k (< E) is edge k in i->j direction, entry E+k the
+    # reverse — edge ids are known by construction, no key search needed
+    eids = np.concatenate(
+        [np.arange(E, dtype=np.int32), np.arange(E, dtype=np.int32)]
+    )[order2]
 
     # per-bucket kNN ref prefix (same cost model as the flat ref_cap)
     lt = src_s < dst_s
