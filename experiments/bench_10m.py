@@ -1,0 +1,77 @@
+"""10M-vertex single-chip measurement — beyond the reference's cuVS tier.
+
+The reference routes >1M-vertex graphs to RAPIDS ivf_pq on an A100
+(reference embedder_cuvs.py:264-272); this tier shows the same engine
+(binfold kNN + binned neighbor-table gather) holding up at 10M vertices /
+~33M edges on ONE v5e chip. Ring + random chords, d=3, random init
+(spectral at this scale is its own measurement — see cheb_1m.py), 50
+warm iterations in one fused block.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")  # noqa: E402
+
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+N = 10_000_000
+CHORDS = 25_000_000
+
+
+def build_adj():
+    rng = np.random.default_rng(0)
+    ring = np.column_stack(
+        [np.arange(N, dtype=np.int64), (np.arange(N, dtype=np.int64) + 1) % N]
+    )
+    chords = rng.integers(0, N, (CHORDS, 2), dtype=np.int64)
+    chords = chords[chords[:, 0] != chords[:, 1]]
+    e = np.concatenate([ring, chords])
+    i = np.minimum(e[:, 0], e[:, 1])
+    j = np.maximum(e[:, 0], e[:, 1])
+    del e, chords, ring
+    a = sp.coo_matrix(
+        (np.ones(len(i), np.float32), (i, j)), shape=(N, N)
+    ).tocsr()
+    a.data[:] = 1
+    return a + a.T
+
+
+def main():
+    import graphem_rapids_tpu as gr
+
+    t0 = time.perf_counter()
+    adj = build_adj()
+    print(f"graph build: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    emb = gr.GraphEmbedderTPU(
+        adj, n_components=3, seed=0, verbose=False, init="random",
+        L_min=10.0, k_attr=0.5, k_inter=0.1, n_neighbors=15,
+        sample_size=512,
+    )
+    E = emb.n_edges
+    print(f"init: {time.perf_counter()-t0:.1f}s  n={emb.n} E={E} "
+          f"strategy={emb._resolved_strategy()} "
+          f"fused={emb._fused_refs_active}", flush=True)
+
+    t0 = time.perf_counter()
+    emb.run_layout(num_iterations=50, block_size=50)
+    print(f"first (compile+run) 50 iters: {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    t0 = time.perf_counter()
+    emb.run_layout(num_iterations=50, block_size=50)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(emb.positions).all()
+    print(f"warm 50 iters: {dt:.2f}s -> {E*50/dt/1e6:.2f}M edges/s "
+          f"({dt/50*1e3:.1f} ms/iter)", flush=True)
+
+
+if __name__ == "__main__":
+    import os
+
+    os.environ.setdefault("GRAPHEM_RAPIDS_QUIET", "true")
+    main()

@@ -338,7 +338,7 @@ class GraphEmbedderTPU:
             self.device.platform == "tpu"
             and self.n_components <= bf.MAX_DIM
             and k_eff <= bf.MAX_K
-            and self.n_edges < bf.MAX_REFS
+            and self.n_edges < bf.MAX_REFS_SEGMENTED
             and bf.probe(self.n_components, self.sample_size, k_eff,
                          self.knn_recall_target)
         ):
@@ -385,7 +385,9 @@ class GraphEmbedderTPU:
         )
         if self.fused_midpoints is None:
             from ..ops.knn import ONESHOT_BUDGET_BYTES
-            from ..ops.knn_binfold import MAX_REFS as BINFOLD_MAX_REFS
+            from ..ops.knn_binfold import (
+                MAX_REFS_SEGMENTED as BINFOLD_MAX_REFS,
+            )
 
             # auto: only while the padded slot count stays bounded AND the
             # enlarged reference set still fits the strategy's budget —

@@ -53,8 +53,13 @@ import numpy as np
 _PAD_COORD = 1.0e15
 _BIG = 3.0e38
 
-# fp32 index lanes are exact below 2^24 references.
+# fp32 index lanes are exact below 2^24 references (per kernel segment).
 MAX_REFS = 1 << 24
+# Beyond MAX_REFS the wrapper splits the reference set into equal
+# segments (one kernel launch each, unrolled under one jit) and merges
+# the per-segment top-k exactly; 8 segments bounds the unroll.
+MAX_SEGMENTS = 8
+MAX_REFS_SEGMENTED = MAX_REFS * MAX_SEGMENTS
 # Auto-selection gates (models/embedder.py _resolved_strategy): the
 # unrolled per-coordinate loop wants small dims, and bin recall falls
 # with k^2 — beyond these, the approx (PartialReduce) tier wins.
@@ -195,29 +200,69 @@ def _binfold_padded(queries, refs, k, T, G, S_out, interpret):
     return idx.astype(jnp.int32)[:S_out], -neg[:S_out]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "T", "G", "S_out", "seg", "n_seg",
+                              "interpret")
+)
+def _binfold_segments(queries, refs, k, T, G, S_out, seg, n_seg, interpret):
+    """Segmented kernel launches + exact top-k merge for E > MAX_REFS.
+
+    Each segment stays below the fp32 index-lane bound; local indices are
+    lifted to global int32 OUTSIDE the kernel, so exactness holds for any
+    total reference count an int32 can index. The n_seg kernel launches
+    share one compiled shape (equal segments, unrolled under this jit).
+    """
+    E, dim = refs.shape
+    refs_p = jnp.full((n_seg * seg, dim), _PAD_COORD, jnp.float32).at[
+        :E
+    ].set(refs.astype(jnp.float32))
+    vals_all, idx_all = [], []
+    for s in range(n_seg):
+        r = jax.lax.slice_in_dim(refs_p, s * seg, (s + 1) * seg)
+        idx_s, vals_s = _binfold_padded(queries, r, k, T, G, S_out,
+                                        interpret)
+        idx_all.append(idx_s + jnp.int32(s * seg))
+        vals_all.append(vals_s)
+    vals = jnp.concatenate(vals_all, axis=1)
+    idx = jnp.concatenate(idx_all, axis=1)
+    neg, pos = jax.lax.top_k(-vals, k)
+    return jnp.take_along_axis(idx, pos, axis=1), -neg
+
+
 def knn_binfold(queries, refs, k, T=None, G=None, recall_target=0.95,
                 interpret=None):
     """Approximate kNN via the fused Pallas bin-fold kernel.
 
     Returns (indices (S, k) int32, sq_distances (S, k) float32), matching
     the other strategies in ops/knn.py. Falls back to interpret mode off
-    TPU (tests run the real kernel logic on CPU this way).
+    TPU (tests run the real kernel logic on CPU this way). Reference sets
+    beyond MAX_REFS (fp32 index lanes per kernel) are split into equal
+    segments and merged exactly, up to MAX_REFS_SEGMENTED.
     """
-    if refs.shape[0] > MAX_REFS:
+    E = int(refs.shape[0])
+    if E > MAX_REFS_SEGMENTED:
         raise ValueError(
-            f"binfold fp32 index lanes support at most {MAX_REFS} "
-            f"references, got {refs.shape[0]}"
+            f"binfold supports at most {MAX_REFS_SEGMENTED} references "
+            f"({MAX_SEGMENTS} segments), got {E}"
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T_auto, G_auto = params_for(k, recall_target)
     T_use, G_use = int(T or T_auto), int(G or G_auto)
+    if E > MAX_REFS:
+        n_seg = -(-E // MAX_REFS)
+        seg_raw = -(-E // n_seg)                  # ceil(E / n_seg)
+        seg = -(-seg_raw // T_use) * T_use        # rounded up to T
+        return _binfold_segments(
+            queries, refs, int(k), T_use, G_use, queries.shape[0],
+            int(seg), int(n_seg), bool(interpret)
+        )
     # effective bin count after the small-E clamp inside _binfold_padded
-    bins = min(G_use, -(-refs.shape[0] // T_use)) * 128
+    bins = min(G_use, -(-E // T_use)) * 128
     if k > bins:
         raise ValueError(
             f"binfold keeps one candidate per bin: k={k} exceeds the "
-            f"{bins} bins at E={refs.shape[0]}; use the 'approx' strategy"
+            f"{bins} bins at E={E}; use the 'approx' strategy"
         )
     return _binfold_padded(
         queries, refs, int(k), T_use, G_use,

@@ -61,7 +61,9 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
             sample_size=self.sample_size,
             nb=self._nb,
             knn_recall_target=self.knn_recall_target,
+            fused_refs=self.fused_midpoints,
         )
+        self._fused_refs_active = "ref_valid_pad" in sharded_ops
 
         # The inherited run_layout/update_positions thread self._step_ops;
         # here it is the sharded operand pytree from build_sharded_step

@@ -30,7 +30,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.forces import apply_overflow_plan, intersection_forces
+from ..ops.forces import (
+    REF_PAD_VALUE,
+    apply_overflow_plan,
+    intersection_forces,
+)
 from ..ops.knn import squared_distances
 from .mesh import EDGE_AXIS
 
@@ -57,7 +61,7 @@ def pad_edges(edges_np, n_devices):
 def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                        n_neighbors, sample_size, nb=None,
                        knn_recall_target=0.95, use_approx_local=None,
-                       axis_name=EDGE_AXIS):
+                       fused_refs=None, axis_name=EDGE_AXIS):
     """Build the jitted multi-chip update step.
 
     Returns (step, multi_step, step_ops) where
@@ -76,6 +80,18 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         scales down with the mesh, and the wire cost drops from a full
         (n, d) psum to an (n/ndev, d) all_gather. Without nb, falls back
         to the edge-sharded segment-sum + psum formulation.
+    fused_refs : None/bool. When active, the kNN reference set is the slot
+        midpoints derived from the SAME vertex-sharded table gather the
+        spring pass already paid for (the multi-chip analog of the
+        single-chip fused path, ops/forces.py midpoint_refs_from_gathered)
+        — removing the per-device 2*E/ndev edge-endpoint midpoint gather.
+        Each device owns the ref slots of its n/ndev vertices; overflow
+        (i<j beyond ref_cap) midpoints are appended on device 0 only and
+        masked to REF_PAD elsewhere so every edge appears exactly once in
+        the merged candidate pool. None = auto: on for TPU meshes while
+        the padded slot count stays <= 4E (same bound as single-chip);
+        CPU (test) meshes keep the unfused exact path so the 1-vs-N
+        allclose gates stay tie-for-tie comparable.
     """
     n_devices = int(np.prod(list(mesh.shape.values())))
     E_pad_total = ((E + n_devices - 1) // n_devices) * n_devices
@@ -133,6 +149,44 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         elif len(nb["overflow"]):
             step_ops["nb_overflow"] = jnp.asarray(nb["overflow"])
 
+        # ---- fused kNN refs from the sharded table gather ------------ #
+        ref_cap = min(int(nb["ref_cap"]), D_tbl)
+        O2 = int(len(nb["overflow_lt"]))
+        n_ref_slots = int(nb["ref_edge"].shape[0])
+        if fused_refs is None:
+            fused_refs = (
+                mesh.devices.flat[0].platform == "tpu"
+                and E > 0
+                and n_ref_slots <= 4 * E
+            )
+        if fused_refs:
+            SL = n_loc * ref_cap  # per-device slot-ref count (static)
+            rv = np.asarray(nb["ref_valid"]).reshape(n, ref_cap)
+            if n_pad != n:
+                rv = np.concatenate(
+                    [rv, np.zeros((n_pad - n, ref_cap), bool)]
+                )
+            step_ops["ref_valid_pad"] = jnp.asarray(rv)
+            # padded slot->edge map: vertex-pad slots map to edge 0 (they
+            # sit at REF_PAD distance, never selected on non-degenerate
+            # graphs); overflow refs live at [n_pad*ref_cap, +O2)
+            re_slots = np.asarray(nb["ref_edge"][:n * ref_cap]).reshape(
+                n, ref_cap
+            )
+            if n_pad != n:
+                re_slots = np.concatenate(
+                    [re_slots, np.zeros((n_pad - n, ref_cap), np.int32)]
+                )
+            re_pad = np.concatenate(
+                [re_slots.reshape(-1),
+                 np.asarray(nb["ref_edge"][n * ref_cap:])]
+            )
+            step_ops["ref_edge_pad"] = jnp.asarray(re_pad)
+            if O2:
+                step_ops["overflow_lt"] = jnp.asarray(nb["overflow_lt"])
+    else:
+        fused_refs = False
+
     def sharded_body(positions, edges_full, valid_full, key, ops):
         i = jax.lax.axis_index(axis_name)
 
@@ -142,8 +196,11 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         )
         valid_loc = jax.lax.dynamic_slice(valid_full, (i * E_loc,), (E_loc,))
 
-        p1 = positions[edges_loc[:, 0]]
-        p2 = positions[edges_loc[:, 1]]
+        if not fused_refs:
+            # the fused path derives every midpoint from the table gather;
+            # only the unfused tiers pay the 2*E_loc endpoint gather
+            p1 = positions[edges_loc[:, 0]]
+            p2 = positions[edges_loc[:, 1]]
 
         if nb is not None:
             # ---- spring: vertex-sharded table gather + all_gather ---- #
@@ -199,21 +256,48 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         q_mid = (positions[q_edges[:, 0]] + positions[q_edges[:, 1]]) / 2.0
 
         # ---- sharded kNN: local top-(k+1), all_gather, exact merge --- #
-        mid_loc = (p1 + p2) / 2.0
-        mid_loc = jnp.where(valid_loc[:, None] > 0, mid_loc, 1e30)
-        kk = min(k + 1, E_loc)
+        if fused_refs:
+            # reference tile = this device's table-slot midpoints, pure
+            # VPU math over the spring gather (pn/pv) — no extra HBM rows.
+            # Invalid slots (pads, j>i duplicates) push to REF_PAD; the
+            # overflow refs appear once (device 0), masked elsewhere.
+            rv_loc = jax.lax.dynamic_slice(
+                ops["ref_valid_pad"], (i * n_loc, 0), (n_loc, ref_cap)
+            )
+            mid_loc = (pv[:, None, :] + pn[:, :ref_cap]) * 0.5
+            mid_loc = jnp.where(
+                rv_loc.reshape(SL)[:, None],
+                mid_loc.reshape(SL, positions.shape[1]),
+                jnp.asarray(REF_PAD_VALUE, positions.dtype),
+            )
+            if O2:
+                ovlt = ops["overflow_lt"]
+                ov_mid = (
+                    positions[ovlt[:, 0]] + positions[ovlt[:, 1]]
+                ) * 0.5
+                ov_mid = jnp.where(
+                    i == 0, ov_mid,
+                    jnp.asarray(REF_PAD_VALUE, positions.dtype),
+                )
+                mid_loc = jnp.concatenate([mid_loc, ov_mid], axis=0)
+            R_loc = SL + O2
+        else:
+            mid_loc = (p1 + p2) / 2.0
+            mid_loc = jnp.where(valid_loc[:, None] > 0, mid_loc, 1e30)
+            R_loc = E_loc
+        kk = min(k + 1, R_loc)
         if use_approx_local:
             # TPU meshes: local top-k via approx_min_k (PartialReduce) —
             # the same tier the single-chip approx path uses; the
             # reference count must be lane-padded (ragged E measured
             # ~500x slower, BASELINE.md). Pad rows sit at 1e30 so they
             # are never selected; clamp guards the tiny-shard corner.
-            E_lane = -(-E_loc // 128) * 128
-            if E_lane != E_loc:
+            R_lane = -(-R_loc // 128) * 128
+            if R_lane != R_loc:
                 mid_loc = jnp.concatenate([
                     mid_loc,
                     jnp.full(
-                        (E_lane - E_loc, mid_loc.shape[1]), 1e30,
+                        (R_lane - R_loc, mid_loc.shape[1]), 1e30,
                         mid_loc.dtype,
                     ),
                 ])
@@ -224,7 +308,7 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             vals_loc, idx_loc = jax.lax.approx_min_k(
                 d2, kk, recall_target=recall_target
             )
-            idx_loc = jnp.minimum(idx_loc, E_loc - 1)
+            idx_loc = jnp.minimum(idx_loc, R_loc - 1)
         else:
             if knn_dtype is not None:
                 # bf16 stays through the local top-k AND the all_gather
@@ -233,10 +317,21 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                     q_mid.astype(knn_dtype), mid_loc.astype(knn_dtype)
                 )
             else:
-                d2 = squared_distances(q_mid, mid_loc)  # (S, E_loc)
+                d2 = squared_distances(q_mid, mid_loc)  # (S, R_loc)
             neg, idx_loc = jax.lax.top_k(-d2, kk)
             vals_loc = -neg
-        idx_glob = idx_loc.astype(jnp.int32) + i * E_loc
+        idx_loc = idx_loc.astype(jnp.int32)
+        if fused_refs:
+            # local slot j -> global padded-ref index: device slots are
+            # vertex-major (device i owns slots [i*SL, (i+1)*SL)); the
+            # shared overflow block lives at [n_pad*ref_cap, +O2)
+            idx_glob = jnp.where(
+                idx_loc < SL,
+                idx_loc + i * SL,
+                idx_loc - SL + n_pad * ref_cap,
+            )
+        else:
+            idx_glob = idx_loc + i * E_loc
         vals_g = jax.lax.all_gather(vals_loc, axis_name)  # (ndev, S, kk)
         idx_g = jax.lax.all_gather(idx_glob, axis_name)
         vals_m = jnp.moveaxis(vals_g, 0, 1).reshape(S, n_devices * kk)
@@ -246,6 +341,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         k_merge = min(k + 1, n_devices * kk)
         neg2, pos2 = jax.lax.top_k(-vals_m, k_merge)
         knn_idx = jnp.take_along_axis(idx_m, pos2, axis=1)[:, 1:]
+        if fused_refs:
+            knn_idx = ops["ref_edge_pad"][knn_idx]  # ref slots -> edge ids
 
         # ---- intersection repulsion (replicated, O(S*k)) ------------- #
         if knn_idx.shape[1] > 0:

@@ -96,10 +96,41 @@ def test_binfold_max_refs_raises():
     q = jnp.zeros((8, 3), jnp.float32)
 
     class FakeRefs:
-        shape = (bf.MAX_REFS + 1, 3)
+        shape = (bf.MAX_REFS_SEGMENTED + 1, 3)
 
     with pytest.raises(ValueError, match="references"):
         bf.knn_binfold(q, FakeRefs(), 5)
+
+
+@pytest.mark.fast
+def test_binfold_segments_merge_matches_exact():
+    """The segmented path (E > MAX_REFS in production, exercised here
+    with a small forced segment size) must return globally-indexed
+    neighbors whose recall matches the single-kernel structural model."""
+    rng = np.random.default_rng(4)
+    S, E, d, k = 16, 2000, 3, 10
+    q = jnp.asarray(rng.standard_normal((S, d)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((E, d)), jnp.float32)
+
+    idx, vals = bf._binfold_segments(
+        q, r, k, 128, 4, S, seg=512, n_seg=4, interpret=True
+    )
+    idx = np.asarray(idx)
+    vals = np.asarray(vals)
+    assert idx.shape == (S, k) and (idx >= 0).all() and (idx < E).all()
+    # returned distances are the true squared distances of the returned ids
+    d2 = np.asarray(
+        ((np.asarray(q)[:, None, :] - np.asarray(r)[idx]) ** 2).sum(-1)
+    )
+    np.testing.assert_allclose(vals, d2, rtol=1e-4, atol=1e-5)
+    # rows are sorted ascending (exact top-k merge)
+    assert (np.diff(vals, axis=1) >= -1e-6).all()
+
+    ei, _ = knn_exact(q, r, k)
+    ei = np.asarray(ei)
+    recall = np.mean([len(set(ei[s]) & set(idx[s])) / k for s in range(S)])
+    # 4 segments x 512 bins: structural recall per segment, merged exactly
+    assert recall >= _structural_recall(k, 512) - 0.1
 
 
 @pytest.mark.fast

@@ -193,3 +193,64 @@ def test_sharded_overflow_plan_matches_single_chip():
     np.testing.assert_allclose(
         sharded.positions, single.positions, rtol=5e-3, atol=5e-4
     )
+
+
+@pytest.mark.fast
+def test_sharded_fused_refs_matches_single_chip():
+    """Fused kNN refs (slot midpoints from the sharded table gather,
+    forced on for the CPU mesh) must reproduce the single-chip
+    trajectory: the candidate set is the same edges, midpoints bitwise
+    equal to the direct (p1+p2)/2 formula."""
+    adj = gr.erdos_renyi_graph(100, 0.08, seed=2)
+    single = gr.GraphEmbedderTPU(
+        adj, n_components=2, seed=9, verbose=False, sample_size=48,
+        n_neighbors=6,
+    )
+    fused = ShardedGraphEmbedder(
+        adj, n_components=2, mesh=make_mesh(4), seed=9, verbose=False,
+        sample_size=48, n_neighbors=6, fused_midpoints=True,
+    )
+    assert fused._fused_refs_active
+    for _ in range(3):
+        single.update_positions()
+        fused.update_positions()
+    np.testing.assert_allclose(
+        fused.positions, single.positions, rtol=5e-3, atol=5e-4
+    )
+
+
+@pytest.mark.fast
+def test_sharded_fused_refs_with_overflow_refs():
+    """Hub graph whose i<j degree exceeds the ref_cap prefix: fused refs
+    must route the overflow midpoints through the device-0 block and
+    still match the single-chip engine."""
+    import scipy.sparse as sp
+
+    n = 200
+    rng = np.random.default_rng(7)
+    e = [(0, j) for j in range(1, 160)]
+    e += [(min(a, b), max(a, b))
+          for a, b in rng.integers(0, n, (400, 2)) if a != b]
+    e = np.unique(np.array(sorted(set(e)), np.int64), axis=0)
+    adj = sp.coo_matrix(
+        (np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(n, n)
+    ).tocsr()
+    adj = adj + adj.T
+    adj.data[:] = 1
+
+    single = gr.GraphEmbedderTPU(
+        adj, n_components=3, seed=13, verbose=False, sample_size=64,
+        n_neighbors=5,
+    )
+    assert len(single._nb["overflow_lt"]) > 0  # the path under test
+    fused = ShardedGraphEmbedder(
+        adj, n_components=3, mesh=make_mesh(4), seed=13, verbose=False,
+        sample_size=64, n_neighbors=5, fused_midpoints=True,
+    )
+    assert fused._fused_refs_active
+    for _ in range(3):
+        single.update_positions()
+        fused.update_positions()
+    np.testing.assert_allclose(
+        fused.positions, single.positions, rtol=5e-3, atol=5e-4
+    )
