@@ -41,9 +41,10 @@ def build_adj():
 
 def main():
     import graphem_rapids_tpu as gr
+    from experiments.probe_10m import build_adj as build_adj_cached
 
     t0 = time.perf_counter()
-    adj = build_adj()
+    adj = build_adj_cached()  # same graph, npz-cached
     print(f"graph build: {time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
@@ -57,17 +58,33 @@ def main():
           f"strategy={emb._resolved_strategy()} "
           f"fused={emb._fused_refs_active}", flush=True)
 
+    def block50():
+        # engine internals: run_layout's return fetches the full (10M, 3)
+        # positions over the axon tunnel (~5 s, memory tpu-env-quirks) —
+        # sync on a 2-row device slice instead so the timing is compute
+        emb._positions, emb._key = emb._multi_step(
+            emb._positions, emb._key, emb._step_ops, num_steps=50
+        )
+        np.asarray(emb._positions[:2])
+
     t0 = time.perf_counter()
-    emb.run_layout(num_iterations=50, block_size=50)
+    block50()
     print(f"first (compile+run) 50 iters: {time.perf_counter()-t0:.1f}s",
           flush=True)
 
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        block50()
+        best = min(best, time.perf_counter() - t0)
+    dt = best
     t0 = time.perf_counter()
-    emb.run_layout(num_iterations=50, block_size=50)
-    dt = time.perf_counter() - t0
-    assert np.isfinite(emb.positions).all()
-    print(f"warm 50 iters: {dt:.2f}s -> {E*50/dt/1e6:.2f}M edges/s "
-          f"({dt/50*1e3:.1f} ms/iter)", flush=True)
+    pos = emb.positions
+    t_fetch = time.perf_counter() - t0
+    assert np.isfinite(pos).all()
+    print(f"warm 50 iters (best of 3): {dt:.2f}s -> "
+          f"{E*50/dt/1e6:.2f}M edges/s ({dt/50*1e3:.1f} ms/iter); "
+          f"final positions fetch {t_fetch:.1f}s", flush=True)
 
 
 if __name__ == "__main__":
