@@ -269,9 +269,9 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
     Returns None when the bucket plan degenerates to one bucket (the flat
     table is already optimal — e.g. regular graphs), else a dict:
       'perm'      : (n,) int64 — internal id -> user id
-      'inv_perm'  : (n,) int64 — user id -> internal id
-      'edges_int' : (E, 2) int64 — internal-id edge list, i<j, lexsorted
-      'edge_map'  : (E,) int64 — user edge index -> internal edge index
+      'inv_perm'  : (n,) int32 — user id -> internal id
+      'edges_int' : (E, 2) int32 — internal-id edge list, i<j, lexsorted
+      'edge_map'  : (E,) int32 — user edge index -> internal edge index
       'buckets'   : list of dicts {'start', 'count', 'cap', 'ref_cap',
                     'ref_offset', 'table' (count, cap) int32 jnp}
       'overflow', 'overflow_plan', 'overflow_lt', 'edge_ref', 'ref_edge',
@@ -282,23 +282,41 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
     E = len(edges_user)
     if E == 0:
         return None
-    src_u = np.concatenate([edges_user[:, 0], edges_user[:, 1]])
-    deg = np.bincount(src_u.astype(np.int64), minlength=n)
+    if max(2 * E, n) >= 2**31:
+        raise ValueError(
+            f"neighbor-table slot space needs int32 indices: "
+            f"n={n}, E={E} exceeds 2^31 slots"
+        )
+    deg = (
+        np.bincount(edges_user[:, 0].astype(np.int64), minlength=n)
+        + np.bincount(edges_user[:, 1].astype(np.int64), minlength=n)
+    )
     C_star = _optimal_table_cap(deg, n)
     clipped = np.minimum(deg, C_star)
     spec = plan_degree_buckets(clipped, overhead_rows=overhead_rows)
     if len(spec) == 1:
         return None
 
+    # Host-build cost discipline (measured at n=10M / E=35M, see
+    # BASELINE.md): everything below runs on FORWARD (i<j) and REVERSE
+    # edge halves separately — the 2E directed-entry arrays, their 2E
+    # lexsort, and the 2E rank arithmetic of the earlier formulation were
+    # ~60% of a 95 s build. Ids ride int32 (n < 2^31 by the int32 device
+    # contract) to halve sort/gather traffic.
     perm = np.argsort(clipped, kind="stable")
-    inv = np.empty(n, np.int64)
-    inv[perm] = np.arange(n)
+    inv = np.empty(n, np.int32)
+    inv[perm] = np.arange(n, dtype=np.int32)
 
-    e = np.sort(inv[edges_user], axis=1)
-    order = np.lexsort((e[:, 1], e[:, 0]))
-    edges_int = e[order]
-    edge_map = np.empty(E, np.int64)
-    edge_map[order] = np.arange(E)
+    a = inv[edges_user]
+    e_lo = np.minimum(a[:, 0], a[:, 1])
+    e_hi = np.maximum(a[:, 0], a[:, 1])
+    # single pack-key argsort instead of a two-pass lexsort (keys unique)
+    order = np.argsort(e_lo.astype(np.int64) * n + e_hi)
+    e0 = e_lo[order]
+    e1 = e_hi[order]
+    edges_int = np.column_stack([e0, e1])
+    edge_map = np.empty(E, np.int32)
+    edge_map[order] = np.arange(E, dtype=np.int32)
     # internal edge p corresponds to user edge order[p]; the step's pair
     # dedup compares USER ids to preserve reference semantics
     edge_user = order
@@ -306,39 +324,52 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
     counts = np.array([c for c, _ in spec], np.int64)
     caps = np.array([cap for _, cap in spec], np.int64)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    vcap = np.repeat(caps, counts)                    # per internal vertex
+    vcap = np.repeat(caps, counts).astype(np.int32)   # per internal vertex
 
-    src = np.concatenate([edges_int[:, 0], edges_int[:, 1]])
-    dst = np.concatenate([edges_int[:, 1], edges_int[:, 0]])
-    lt_dir = src < dst
-    order2 = np.lexsort((~lt_dir, src))               # i<j slots first
-    src_s, dst_s = src[order2], dst[order2]
-    row_starts = np.zeros(n + 1, np.int64)
-    np.cumsum(np.bincount(src_s, minlength=n), out=row_starts[1:])
-    col = np.arange(len(src_s)) - row_starts[src_s]
+    # Vertex v's table row holds its i<j (forward) neighbors first, then
+    # its reverse neighbors — the same slot layout the directed
+    # (2E-entry, forward-first lexsort) formulation produced. Forward
+    # ranks fall out of the edge sort (edges are e0-grouped); reverse
+    # ranks need the one remaining stable sort, over E entries. All
+    # E-sized rank/offset arrays stay int32 (slot counts < 2^31).
+    deg_fwd = np.bincount(e0, minlength=n)            # == lt_deg
+    deg_rev = np.bincount(e1, minlength=n)
+    fwd_start = np.concatenate(
+        [[0], np.cumsum(deg_fwd)[:-1]]
+    ).astype(np.int32)
+    col_fwd = np.arange(E, dtype=np.int32) - fwd_start[e0]
+    r = np.argsort(e1, kind="stable")
+    rev_start = np.concatenate(
+        [[0], np.cumsum(deg_rev)[:-1]]
+    ).astype(np.int32)
+    col_rev = np.empty(E, np.int32)
+    col_rev[r] = np.arange(E, dtype=np.int32) - rev_start[e1[r]]
+    col_rev += deg_fwd[e1].astype(np.int32)           # absolute row column
 
     # flat slot space: vertex i owns vcap[i] consecutive slots
-    slot_off = np.concatenate([[0], np.cumsum(vcap)])
-    in_table = col < vcap[src_s]
+    slot_off = np.concatenate(
+        [[0], np.cumsum(vcap)]
+    ).astype(np.int32)
+    in_t_fwd = col_fwd < vcap[e0]
+    in_t_rev = col_rev < vcap[e1]
     flat_table = np.repeat(
         np.arange(n, dtype=np.int32), vcap
     )                                                 # self-pad default
-    flat_table[slot_off[src_s[in_table]] + col[in_table]] = dst_s[in_table]
+    flat_table[slot_off[e0[in_t_fwd]] + col_fwd[in_t_fwd]] = e1[in_t_fwd]
+    flat_table[slot_off[e1[in_t_rev]] + col_rev[in_t_rev]] = e0[in_t_rev]
 
-    overflow = np.column_stack(
-        [src_s[~in_table], dst_s[~in_table]]
-    ).astype(np.int32)
+    # overflow pairs vertex-sorted, forward entries first within a vertex
+    # (what build_overflow_plan's hub-contiguous runs expect)
+    ov_src = np.concatenate([e0[~in_t_fwd], e1[~in_t_rev]])
+    ov_dst = np.concatenate([e1[~in_t_fwd], e0[~in_t_rev]])
+    o = np.argsort(ov_src, kind="stable")
+    overflow = np.column_stack([ov_src[o], ov_dst[o]]).astype(np.int32)
     overflow_plan = build_overflow_plan(overflow)
 
-    # directed entry k (< E) is edge k in i->j direction, entry E+k the
-    # reverse — edge ids are known by construction, no key search needed
-    eids = np.concatenate(
-        [np.arange(E, dtype=np.int32), np.arange(E, dtype=np.int32)]
-    )[order2]
-
-    # per-bucket kNN ref prefix (same cost model as the flat ref_cap)
-    lt = src_s < dst_s
-    lt_deg = np.bincount(src_s[lt], minlength=n)
+    # per-bucket kNN ref prefix (same cost model as the flat ref_cap);
+    # ref slots are forward-only, whose edge ids are arange(E) by the
+    # construction above
+    lt_deg = deg_fwd
     ref_caps = np.zeros(len(spec), np.int64)
     for g, (cnt, cap) in enumerate(spec):
         ld = np.minimum(lt_deg[starts[g]:starts[g] + cnt], cap)
@@ -353,28 +384,31 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
             if best_cost is None or cost < best_cost:
                 best_cost, best_C = cost, C
         ref_caps[g] = best_C
-    vref = np.repeat(ref_caps, counts)
+    vref = np.repeat(ref_caps, counts).astype(np.int32)
     ref_off = np.concatenate([[0], np.cumsum(counts * ref_caps)])
     R_slots = int(ref_off[-1])
-    ref_row_off = np.repeat(ref_off[:-1], counts) + (
-        np.arange(n) - np.repeat(starts, counts)
-    ) * vref
+    ref_row_off = (
+        np.repeat(ref_off[:-1], counts) + (
+            np.arange(n) - np.repeat(starts, counts)
+        ) * vref
+    ).astype(np.int32)
 
-    sel_t = lt & (col < vref[src_s])
-    ref_slot = ref_row_off[src_s[sel_t]] + col[sel_t]
+    sel_t = col_fwd < vref[e0]
+    ref_slot = ref_row_off[e0[sel_t]] + col_fwd[sel_t]
     ref_valid = np.zeros(R_slots, bool)
     ref_valid[ref_slot] = True
     slot_ref_edge = np.zeros(R_slots, np.int32)
-    slot_ref_edge[ref_slot] = eids[sel_t]
+    eids_fwd = np.arange(E, dtype=np.int32)
+    slot_ref_edge[ref_slot] = eids_fwd[sel_t]
 
-    sel_o = lt & ~sel_t
-    overflow_lt = np.column_stack(
-        [src_s[sel_o], dst_s[sel_o]]
-    ).astype(np.int32)
-    edge_ref = np.full(E, -1, np.int64)
-    edge_ref[eids[sel_t]] = ref_slot
-    edge_ref[eids[sel_o]] = R_slots + np.arange(sel_o.sum())
-    ref_edge = np.concatenate([slot_ref_edge, eids[sel_o]])
+    sel_o = ~sel_t
+    overflow_lt = np.column_stack([e0[sel_o], e1[sel_o]])
+    edge_ref = np.full(E, -1, np.int32)
+    edge_ref[sel_t] = ref_slot
+    edge_ref[sel_o] = R_slots + np.arange(
+        int(sel_o.sum()), dtype=np.int32
+    )
+    ref_edge = np.concatenate([slot_ref_edge, eids_fwd[sel_o]])
 
     buckets = []
     for g, (cnt, cap) in enumerate(spec):
@@ -400,8 +434,8 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
         "overflow": overflow,
         "overflow_plan": overflow_plan,
         "overflow_lt": overflow_lt,
-        "edge_ref": jnp.asarray(edge_ref.astype(np.int32)),
-        "ref_edge": jnp.asarray(ref_edge.astype(np.int32)),
+        "edge_ref": jnp.asarray(edge_ref),
+        "ref_edge": jnp.asarray(ref_edge),
         "ref_valid": jnp.asarray(ref_valid),
         "n": n,
     }

@@ -81,6 +81,29 @@ class TestValidation:
 
 
 @pytest.mark.fast
+class TestEdgeExtraction:
+    """The CSR-structure extraction must match nonzero() semantics."""
+
+    def test_non_csr_formats_give_same_edges(self):
+        adj = gr.erdos_renyi_graph(60, 0.1, seed=5)
+        ref = GraphEmbedderTPU(adj, n_components=2, seed=0, verbose=False)
+        for fmt in (adj.tocsc(), adj.tocoo(), adj.todense()):
+            emb = GraphEmbedderTPU(fmt, n_components=2, seed=0,
+                                   verbose=False)
+            assert emb.n_edges == ref.n_edges
+
+    def test_explicit_zeros_are_not_edges(self):
+        import scipy.sparse as sp
+
+        data = np.array([1.0, 0.0, 1.0, 1.0, 0.0, 1.0])
+        r = np.array([0, 0, 1, 1, 2, 2])
+        c = np.array([1, 2, 0, 2, 0, 1])
+        adj = sp.csr_matrix((data, (r, c)), shape=(3, 3))
+        emb = GraphEmbedderTPU(adj, n_components=2, seed=0, verbose=False)
+        assert emb.n_edges == 2  # (0,2) is an explicit stored zero
+
+
+@pytest.mark.fast
 class TestLayout:
     def test_layout_changes_positions(self):
         adj = gr.erdos_renyi_graph(80, 0.08, seed=0)
