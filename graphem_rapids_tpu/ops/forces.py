@@ -127,9 +127,15 @@ def build_neighbor_table(edges_np, n, cap=None):
             "edge_ref": jnp.zeros((0,), jnp.int32),
             "overflow_plan": None,
         }
-    src = np.concatenate([edges_np[:, 0], edges_np[:, 1]]).astype(np.int64)
-    dst = np.concatenate([edges_np[:, 1], edges_np[:, 0]]).astype(np.int64)
-    deg = np.bincount(src, minlength=n)
+    # Forward/reverse half decomposition (same cost discipline as
+    # build_neighbor_table_binned): no 2E directed-entry arrays, no 2E
+    # lexsort — two stable E-argsorts plus rank arithmetic, int32 ids.
+    # Edge rows are normalized to (lo, hi); every in-repo caller already
+    # passes i<j edges, for which this is the identity.
+    E = len(edges_np)
+    e0 = np.minimum(edges_np[:, 0], edges_np[:, 1]).astype(np.int32)
+    e1 = np.maximum(edges_np[:, 0], edges_np[:, 1]).astype(np.int32)
+    deg = np.bincount(e0, minlength=n) + np.bincount(e1, minlength=n)
     if cap is None:
         cap = _optimal_table_cap(deg, n)
     cap = max(cap, 1)
@@ -138,35 +144,39 @@ def build_neighbor_table(edges_np, n, cap=None):
     # reference set is built from a prefix of the table columns (ref_cap
     # below), so packing the i<j slots into that prefix minimizes padded
     # (never-a-reference) slots the approx kNN has to scan past.
-    lt_dir = src < dst
-    order = np.lexsort((~lt_dir, src))
-    src_s, dst_s = src[order], dst[order]
-    starts = np.zeros(n + 1, np.int64)
-    np.cumsum(np.bincount(src_s, minlength=n), out=starts[1:])
-    col = np.arange(len(src_s)) - starts[src_s]
-
-    in_table = col < cap
-    table = np.repeat(np.arange(n, dtype=np.int32)[:, None], cap, axis=1)
-    table[src_s[in_table], col[in_table]] = dst_s[in_table]
-    overflow = np.column_stack(
-        [src_s[~in_table], dst_s[~in_table]]
+    deg_fwd = np.bincount(e0, minlength=n)
+    deg_rev = np.bincount(e1, minlength=n)
+    s = np.argsort(e0, kind="stable")
+    fwd_start = np.concatenate(
+        [[0], np.cumsum(deg_fwd)[:-1]]
     ).astype(np.int32)
+    col_fwd = np.empty(E, np.int32)
+    col_fwd[s] = np.arange(E, dtype=np.int32) - fwd_start[e0[s]]
+    r = np.argsort(e1, kind="stable")
+    rev_start = np.concatenate(
+        [[0], np.cumsum(deg_rev)[:-1]]
+    ).astype(np.int32)
+    col_rev = np.empty(E, np.int32)
+    col_rev[r] = np.arange(E, dtype=np.int32) - rev_start[e1[r]]
+    col_rev += deg_fwd[e1].astype(np.int32)
+
+    in_t_fwd = col_fwd < cap
+    in_t_rev = col_rev < cap
+    table = np.repeat(np.arange(n, dtype=np.int32)[:, None], cap, axis=1)
+    table[e0[in_t_fwd], col_fwd[in_t_fwd]] = e1[in_t_fwd]
+    table[e1[in_t_rev], col_rev[in_t_rev]] = e0[in_t_rev]
+    # overflow pairs vertex-sorted, i<j entries first within a vertex
+    ov_src = np.concatenate([e0[~in_t_fwd], e1[~in_t_rev]])
+    ov_dst = np.concatenate([e1[~in_t_fwd], e0[~in_t_rev]])
+    o = np.argsort(ov_src, kind="stable")
+    overflow = np.column_stack([ov_src[o], ov_dst[o]])
     overflow_plan = build_overflow_plan(overflow)
 
-    # Slot <-> edge maps: directed entry k (< E) is edge k in i->j
-    # direction, entry E+k the reverse — edge ids are known by
-    # construction, no key search needed.
-    E = len(edges_np)
-    eids = np.concatenate(
-        [np.arange(E, dtype=np.int32), np.arange(E, dtype=np.int32)]
-    )[order]
-
-    lt = src_s < dst_s  # each edge's unique i<j directed slot
     # ref_cap: smallest column prefix whose total slot count (n*C) plus
     # the overflowed i<j edges (each costing roughly an order of magnitude
     # more than a scanned slot: two gathered endpoint rows vs one lane of
     # fused distance traffic) is cheapest for the kNN pass.
-    lt_deg = np.bincount(src_s[lt], minlength=n).clip(max=cap)
+    lt_deg = deg_fwd.clip(max=cap)
     max_lt = int(lt_deg.max()) if n else 1
     best_cost, ref_cap = None, max(max_lt, 1)
     for C in range(1, max_lt + 1):
@@ -175,30 +185,33 @@ def build_neighbor_table(edges_np, n, cap=None):
         if best_cost is None or cost < best_cost:
             best_cost, ref_cap = cost, C
 
-    sel_t = lt & (col < ref_cap)
+    # ref maps follow the (vertex asc, column asc) enumeration of i<j
+    # slots — ks restricts the e0-sort to that order so the overflow-ref
+    # block keeps the layout the previous formulation produced
+    ks = s.astype(np.int32)
+    sel_s = col_fwd[ks] < ref_cap
+    kt = ks[sel_s]
+    ko = ks[~sel_s]
     slot_edge = np.zeros((n, ref_cap), np.int32)
     ref_valid = np.zeros((n, ref_cap), bool)
-    slot_edge[src_s[sel_t], col[sel_t]] = eids[sel_t]
-    ref_valid[src_s[sel_t], col[sel_t]] = True
+    slot_edge[e0[kt], col_fwd[kt]] = kt
+    ref_valid[e0[kt], col_fwd[kt]] = True
 
-    sel_o = lt & (col >= ref_cap)
-    overflow_lt = np.column_stack(
-        [src_s[sel_o], dst_s[sel_o]]
-    ).astype(np.int32)
-    edge_ref = np.full(E, -1, np.int64)
-    edge_ref[eids[sel_t]] = src_s[sel_t] * ref_cap + col[sel_t]
-    edge_ref[eids[sel_o]] = n * ref_cap + np.arange(sel_o.sum())
+    overflow_lt = np.column_stack([e0[ko], e1[ko]])
+    edge_ref = np.full(E, -1, np.int32)
+    edge_ref[kt] = e0[kt] * ref_cap + col_fwd[kt]
+    edge_ref[ko] = n * ref_cap + np.arange(len(ko), dtype=np.int32)
 
-    ref_edge = np.concatenate([slot_edge.reshape(-1), eids[sel_o]])
+    ref_edge = np.concatenate([slot_edge.reshape(-1), ko])
     return {
         "table": jnp.asarray(table),
         "overflow": overflow,
         "n": n,
         "ref_cap": ref_cap,
-        "ref_edge": jnp.asarray(ref_edge.astype(np.int32)),
+        "ref_edge": jnp.asarray(ref_edge),
         "ref_valid": jnp.asarray(ref_valid.reshape(-1)),
         "overflow_lt": overflow_lt,
-        "edge_ref": jnp.asarray(edge_ref.astype(np.int32)),
+        "edge_ref": jnp.asarray(edge_ref),
         "overflow_plan": overflow_plan,
     }
 
