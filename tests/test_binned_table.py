@@ -187,3 +187,16 @@ def test_binned_auto_activates_at_scale():
     emb_reg = gr.GraphEmbedderTPU(reg, n_components=2, seed=0,
                                   verbose=False)
     assert "buckets" not in emb_reg._nb
+
+
+@pytest.mark.fast
+def test_binned_int32_slot_guard():
+    """Graphs whose slot space exceeds int32 indexing must be rejected
+    up front (the device side indexes tables with int32 lanes)."""
+
+    class FakeEdges:
+        def __len__(self):
+            return 1 << 30
+
+    with pytest.raises(ValueError, match="int32"):
+        build_neighbor_table_binned(FakeEdges(), 1000)
