@@ -94,6 +94,16 @@ from .visualization import (
 __version__ = "0.1.0"
 
 
+def __getattr__(name):  # PEP 562 lazy export
+    if name == "ShardedGraphEmbedder":
+        from .parallel.sharded_embedder import ShardedGraphEmbedder
+
+        return ShardedGraphEmbedder
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )
+
+
 def create_graphem(adjacency, n_components=2, backend=None, mesh=None,
                    **kwargs):
     """Create a graph embedder with automatic strategy selection.
@@ -172,6 +182,7 @@ __all__ = [
     # Factory + engine
     "create_graphem",
     "GraphEmbedderTPU",
+    "ShardedGraphEmbedder",  # multi-chip tier (lazy import)
     "GraphEmbedderPyTorch",  # migration alias for reference users
     # Graph generators
     "erdos_renyi_graph",
