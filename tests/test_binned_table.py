@@ -200,3 +200,52 @@ def test_binned_int32_slot_guard():
 
     with pytest.raises(ValueError, match="int32"):
         build_neighbor_table_binned(FakeEdges(), 1000)
+
+
+@pytest.mark.fast
+def test_builders_fuzz_consistency():
+    """Both table builders, fuzzed over random graph shapes: every edge
+    is represented exactly once in the ref space (a table slot or an
+    overflow_lt row), slot<->edge maps are mutually inverse, and each
+    undirected edge contributes exactly two directed entries across
+    tables + overflow."""
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        n = int(rng.integers(20, 400))
+        m = int(rng.integers(n, 4 * n))
+        e = rng.integers(0, n, (m, 2))
+        e = e[e[:, 0] != e[:, 1]]
+        e = np.unique(np.sort(e, axis=1), axis=0).astype(np.int64)
+        if len(e) == 0:
+            continue
+        E = len(e)
+
+        for nb, renumbered in (
+            (build_neighbor_table(e, n), False),
+            (build_neighbor_table_binned(e, n, overhead_rows=0), True),
+        ):
+            if nb is None:
+                continue
+            er = np.asarray(nb["edge_ref"])
+            re_ = np.asarray(nb["ref_edge"])
+            rv = np.asarray(nb["ref_valid"])
+            # every edge's ref slot maps back to that edge
+            assert (re_[er] == np.arange(E)).all()
+            # valid slots + overflow_lt rows partition the edge set
+            assert int(rv.sum()) + len(nb["overflow_lt"]) == E
+            # directed-entry conservation: table non-pad entries plus
+            # overflow pairs == 2E
+            if renumbered:
+                tables = [np.asarray(g["table"]) for g in nb["buckets"]]
+                starts = [g["start"] for g in nb["buckets"]]
+                non_pad = sum(
+                    int((t != (np.arange(t.shape[0])[:, None] + s)).sum())
+                    for t, s in zip(tables, starts)
+                )
+            else:
+                t = np.asarray(nb["table"])
+                non_pad = int(
+                    (t != np.arange(t.shape[0])[:, None]).sum()
+                )
+            assert non_pad + len(nb["overflow"]) == 2 * E, (
+                trial, non_pad, len(nb["overflow"]))
