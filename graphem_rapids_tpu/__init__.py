@@ -12,6 +12,7 @@ Public surface mirrors the reference package root
 influence, visualization, datasets, benchmarks.
 """
 
+import logging
 import os
 
 
@@ -134,6 +135,15 @@ def create_graphem(adjacency, n_components=2, backend=None, mesh=None,
     -------
     GraphEmbedderTPU (or ShardedGraphEmbedder for the multi-chip tier).
     """
+    if "index_type" in kwargs:
+        # reference cuVS-only knob (embedder_cuvs.py:63-78): there is no
+        # ANN index to build here — the binfold kernel replaces it.
+        # Accept and drop so migrating call sites keep working.
+        idx = kwargs.pop("index_type")
+        logging.getLogger(__name__).info(
+            "index_type=%r ignored: the TPU engine has no ANN index "
+            "(see docs/PARITY.md)", idx,
+        )
     n_vertices = adjacency.shape[0]
     config = get_default_config(n_vertices, n_components)
     if backend is not None:
