@@ -19,7 +19,7 @@ bench:
 	python bench.py
 
 lint:
-	python -m pyflakes graphem_rapids_tpu tests benchmarks examples scripts || true
+	python scripts/lint.py
 
 clean:
 	find . -type d -name __pycache__ -exec rm -rf {} +

@@ -12,7 +12,6 @@ reference's torch.profiler mode, SURVEY.md §5.1).
 import argparse
 import cProfile
 import io
-import json
 import os
 import pstats
 import sys

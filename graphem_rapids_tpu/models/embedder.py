@@ -37,7 +37,6 @@ from ..ops.forces import (
     midpoint_refs_from_gathered,
     spring_forces_binned,
     spring_forces_from_gathered,
-    spring_forces_nbtable,
 )
 from ..ops.knn import knn
 from ..ops.laplacian import spectral_init

@@ -46,7 +46,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # Pad coordinate for out-of-range reference rows: squared distance ~1e30
 # stays finite (an inf pad would produce inf - inf = NaN in the fold).
