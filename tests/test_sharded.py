@@ -202,9 +202,13 @@ def test_sharded_fused_refs_matches_single_chip():
     trajectory: the candidate set is the same edges, midpoints bitwise
     equal to the direct (p1+p2)/2 formula."""
     adj = gr.erdos_renyi_graph(100, 0.08, seed=2)
+    # binned_table=False pins the single-chip engine to the sharded
+    # tier's (flat) edge numbering: the per-iteration edge sample is
+    # drawn by index, so engines with different internal numberings are
+    # different (both valid) stochastic runs, not comparable pointwise
     single = gr.GraphEmbedderTPU(
         adj, n_components=2, seed=9, verbose=False, sample_size=48,
-        n_neighbors=6,
+        n_neighbors=6, binned_table=False,
     )
     fused = ShardedGraphEmbedder(
         adj, n_components=2, mesh=make_mesh(4), seed=9, verbose=False,
@@ -212,6 +216,43 @@ def test_sharded_fused_refs_matches_single_chip():
     )
     assert fused._fused_refs_active
     for _ in range(3):
+        single.update_positions()
+        fused.update_positions()
+    np.testing.assert_allclose(
+        fused.positions, single.positions, rtol=5e-3, atol=5e-4
+    )
+
+
+@pytest.mark.fast
+def test_sharded_fused_refs_hub_stress():
+    """Larger skewed graph (5K vertices, 1200-degree hub): the fused
+    sharded trajectory must be exact against the flat single-chip
+    engine across uneven device spans, ref-cap packing, and the
+    device-0 overflow block together."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    e = [(0, j) for j in range(1, 1200)] + [(1, j) for j in range(2, 400)]
+    e += [(min(a, b), max(a, b))
+          for a, b in rng.integers(0, n, (12000, 2)) if a != b]
+    e = np.unique(np.array(sorted(set(e)), np.int64), axis=0)
+    adj = sp.coo_matrix(
+        (np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(n, n)
+    ).tocsr()
+    adj = adj + adj.T
+    adj.data[:] = 1
+
+    single = gr.GraphEmbedderTPU(
+        adj, n_components=3, seed=7, verbose=False, sample_size=256,
+        n_neighbors=8, binned_table=False,
+    )
+    fused = ShardedGraphEmbedder(
+        adj, n_components=3, mesh=make_mesh(8), seed=7, verbose=False,
+        sample_size=256, n_neighbors=8, fused_midpoints=True,
+    )
+    assert fused._fused_refs_active
+    for _ in range(5):
         single.update_positions()
         fused.update_positions()
     np.testing.assert_allclose(
@@ -240,7 +281,7 @@ def test_sharded_fused_refs_with_overflow_refs():
 
     single = gr.GraphEmbedderTPU(
         adj, n_components=3, seed=13, verbose=False, sample_size=64,
-        n_neighbors=5,
+        n_neighbors=5, binned_table=False,  # match sharded edge numbering
     )
     assert len(single._nb["overflow_lt"]) > 0  # the path under test
     fused = ShardedGraphEmbedder(
