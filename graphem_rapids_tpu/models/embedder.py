@@ -616,6 +616,8 @@ class GraphEmbedderTPU:
         """
         if self.verbose:
             self.logger.info("Running layout for %d iterations", num_iterations)
+        if block_size < 1:
+            raise ValueError(f"block_size must be >= 1, got {block_size}")
         if self.n_edges == 0:
             return self.positions
 

@@ -79,6 +79,11 @@ class TestValidation:
         with pytest.raises(ValueError, match="sample_size"):
             GraphEmbedderTPU(small_graph_adjacency, sample_size=-1)
 
+    def test_bad_block_size(self, small_graph_adjacency):
+        emb = GraphEmbedderTPU(small_graph_adjacency, verbose=False, seed=0)
+        with pytest.raises(ValueError, match="block_size"):
+            emb.run_layout(5, block_size=0)
+
 
 @pytest.mark.fast
 class TestEdgeExtraction:
