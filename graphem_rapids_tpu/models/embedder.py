@@ -276,16 +276,19 @@ class GraphEmbedderTPU:
 
     @staticmethod
     def _resolve_device(device):
+        # local_devices, not devices: in a multi-HOST run jax.devices()[0]
+        # belongs to process 0 — pinning host arrays to a remote device
+        # from another process yields arrays with no addressable shards
         if device is None:
-            return jax.devices()[0]
+            return jax.local_devices()[0]
         if isinstance(device, str):
             name = device.lower()
             if name in ("cpu",):
-                return jax.devices("cpu")[0]
-            for d in jax.devices():
+                return jax.local_devices(backend="cpu")[0]
+            for d in jax.local_devices():
                 if name in (d.platform, str(d).lower()):
                     return d
-            return jax.devices()[0]
+            return jax.local_devices()[0]
         return device
 
     def _validate_adjacency(self, adjacency):
@@ -565,7 +568,12 @@ class GraphEmbedderTPU:
         renumbering is undone here (host-side fancy index, off the hot
         path).
         """
-        pos = np.asarray(self._positions)
+        pos = self._positions
+        if hasattr(pos, "is_fully_addressable") and not pos.is_fully_addressable:
+            # multi-host replicated array: every process holds the full
+            # value in each of its addressable shards
+            pos = pos.addressable_data(0)
+        pos = np.asarray(pos)
         if self._perm is not None:
             pos = pos[self._inv_perm]
         return pos

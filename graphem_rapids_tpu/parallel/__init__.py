@@ -9,13 +9,22 @@ global top-k merge over an all_gather — collectives ride ICI under
 shard_map.
 """
 
-from .mesh import default_mesh, make_mesh
+from .mesh import (
+    default_mesh,
+    distributed_init,
+    make_mesh,
+    mesh_is_multiprocess,
+    replicate_to_mesh,
+)
 from .sharded_embedder import ShardedGraphEmbedder
 from .sharded_step import build_sharded_step
 
 __all__ = [
     "default_mesh",
+    "distributed_init",
     "make_mesh",
+    "mesh_is_multiprocess",
+    "replicate_to_mesh",
     "ShardedGraphEmbedder",
     "build_sharded_step",
 ]

@@ -12,7 +12,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.embedder import GraphEmbedderTPU
-from ..parallel.mesh import default_mesh
+from ..parallel.mesh import (
+    default_mesh,
+    mesh_is_multiprocess,
+    replicate_to_mesh,
+)
 from ..parallel.sharded_step import build_sharded_step, pad_edges
 
 logger = logging.getLogger(__name__)
@@ -49,6 +53,19 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
         self._edges_padded = jnp.asarray(edges_p)
         self._valid = jnp.asarray(valid)
 
+        # Multi-HOST execution: a jit lowered for a mesh that spans other
+        # processes only accepts GLOBAL jax.Arrays. All step operands are
+        # replicated (every process runs the same program on the same
+        # graph — the standard JAX SPMD contract), so each process
+        # contributes the full array (mesh.replicate_to_mesh).
+        self._multiprocess = mesh_is_multiprocess(self.mesh)
+        if self._multiprocess:
+            rep = lambda x: replicate_to_mesh(x, self.mesh)  # noqa: E731
+            self._edges_padded = rep(edges_p)
+            self._valid = rep(valid)
+            self._positions = rep(self._positions)
+            self._key = rep(self._key)
+
         step, multi_step, sharded_ops = build_sharded_step(
             self.mesh,
             self.n,
@@ -63,6 +80,10 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
             knn_recall_target=self.knn_recall_target,
             fused_refs=self.fused_midpoints,
         )
+        if self._multiprocess:
+            import jax
+
+            sharded_ops = jax.tree.map(rep, sharded_ops)
         self._fused_refs_active = "ref_valid_pad" in sharded_ops
 
         # The inherited run_layout/update_positions thread self._step_ops;

@@ -1,0 +1,49 @@
+"""Worker for test_multiprocess.py: one process of a 2-process CPU mesh.
+
+Usage: python tests/_mp_worker.py <process_id> <num_processes> <port> <out>
+
+Each process owns 2 virtual CPU devices; the mesh spans all
+num_processes * 2 global devices. Every process builds the same embedder
+(same graph, same seed — the SPMD contract) and runs 3 steps; each
+process writes its final positions to <out>.p<pid>.npz.
+"""
+
+import os
+import sys
+
+pid, nproc, port, out = (
+    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ.setdefault("GRAPHEM_RAPIDS_QUIET", "true")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+import graphem_rapids_tpu as gr
+from graphem_rapids_tpu.parallel import (
+    ShardedGraphEmbedder,
+    distributed_init,
+    make_mesh,
+)
+
+distributed_init(f"localhost:{port}", num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc
+assert jax.device_count() == 2 * nproc
+
+adj = gr.erdos_renyi_graph(120, 0.08, seed=4)
+emb = ShardedGraphEmbedder(
+    adj, n_components=3, mesh=make_mesh(), seed=11, verbose=False,
+    sample_size=64, n_neighbors=6,
+)
+assert emb._multiprocess
+for _ in range(3):
+    emb.update_positions()
+pos = emb.positions
+assert np.isfinite(pos).all()
+np.savez(f"{out}.p{pid}.npz", positions=pos)
+print(f"[p{pid}] wrote positions", flush=True)

@@ -1,0 +1,64 @@
+"""Multi-HOST (multi-process) execution of the sharded tier.
+
+SURVEY.md §2.4 mandates a multi-host layer as new capability; the
+reference has no distributed execution at all. These tests run the REAL
+jax.distributed runtime with two local CPU processes (2 virtual devices
+each — the moral equivalent of two hosts) and require the trajectory to
+match a single-process mesh of the same global device count.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import graphem_rapids_tpu as gr
+from graphem_rapids_tpu.parallel import ShardedGraphEmbedder, make_mesh
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.multichip
+def test_two_process_mesh_matches_single_process(tmp_path):
+    out = str(tmp_path / "mp")
+    port = 9734
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", os.path.join(REPO, "tests",
+                                                "_mp_worker.py"),
+             str(pid), "2", str(port), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    p0 = np.load(f"{out}.p0.npz")["positions"]
+    p1 = np.load(f"{out}.p1.npz")["positions"]
+    # both processes observe the identical replicated result
+    np.testing.assert_array_equal(p0, p1)
+
+    # single-process reference on the same global device count (the
+    # pytest process holds 8 virtual devices; use 4)
+    adj = gr.erdos_renyi_graph(120, 0.08, seed=4)
+    single = ShardedGraphEmbedder(
+        adj, n_components=3, mesh=make_mesh(4), seed=11, verbose=False,
+        sample_size=64, n_neighbors=6,
+    )
+    for _ in range(3):
+        single.update_positions()
+    np.testing.assert_allclose(p0, single.positions, rtol=1e-5, atol=1e-6)
