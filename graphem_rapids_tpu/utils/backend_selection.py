@@ -95,11 +95,16 @@ def check_tpu_availability():
 
 
 def check_device_count():
-    """Number of addressable accelerator devices."""
+    """Number of GLOBAL accelerator devices (all processes).
+
+    The sharded tier spans the global mesh, so in a multi-host run the
+    factory must count every process's devices, not just the local ones
+    (identical in single-process runs).
+    """
     try:
         import jax
 
-        return jax.local_device_count()
+        return jax.device_count()
     except Exception:  # pragma: no cover
         return 1
 
