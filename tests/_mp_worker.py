@@ -14,6 +14,7 @@ import sys
 pid, nproc, port, out = (
     int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 )
+fused = len(sys.argv) > 5 and sys.argv[5] == "fused"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 os.environ.setdefault("GRAPHEM_RAPIDS_QUIET", "true")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -39,8 +40,11 @@ adj = gr.erdos_renyi_graph(120, 0.08, seed=4)
 emb = ShardedGraphEmbedder(
     adj, n_components=3, mesh=make_mesh(), seed=11, verbose=False,
     sample_size=64, n_neighbors=6,
+    fused_midpoints=True if fused else None,
 )
 assert emb._multiprocess
+if fused:
+    assert emb._fused_refs_active
 for _ in range(3):
     emb.update_positions()
 pos = emb.positions

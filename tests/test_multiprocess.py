@@ -20,16 +20,13 @@ from graphem_rapids_tpu.parallel import ShardedGraphEmbedder, make_mesh
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.multichip
-def test_two_process_mesh_matches_single_process(tmp_path):
-    out = str(tmp_path / "mp")
-    port = 9734
+def _run_pair(out, port, *extra):
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
         subprocess.Popen(
             [sys.executable, "-u", os.path.join(REPO, "tests",
                                                 "_mp_worker.py"),
-             str(pid), "2", str(port), out],
+             str(pid), "2", str(port), out, *extra],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -46,19 +43,40 @@ def test_two_process_mesh_matches_single_process(tmp_path):
         logs.append(stdout)
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
-
     p0 = np.load(f"{out}.p0.npz")["positions"]
     p1 = np.load(f"{out}.p1.npz")["positions"]
     # both processes observe the identical replicated result
     np.testing.assert_array_equal(p0, p1)
+    return p0
 
-    # single-process reference on the same global device count (the
-    # pytest process holds 8 virtual devices; use 4)
+
+def _single_reference(**kw):
     adj = gr.erdos_renyi_graph(120, 0.08, seed=4)
     single = ShardedGraphEmbedder(
         adj, n_components=3, mesh=make_mesh(4), seed=11, verbose=False,
-        sample_size=64, n_neighbors=6,
+        sample_size=64, n_neighbors=6, **kw,
     )
     for _ in range(3):
         single.update_positions()
-    np.testing.assert_allclose(p0, single.positions, rtol=1e-5, atol=1e-6)
+    return single.positions
+
+
+@pytest.mark.multichip
+def test_two_process_mesh_matches_single_process(tmp_path):
+    # single-process reference on the same global device count (the
+    # pytest process holds 8 virtual devices; use 4)
+    p0 = _run_pair(str(tmp_path / "mp"), 9734)
+    np.testing.assert_allclose(
+        p0, _single_reference(), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.multichip
+def test_two_process_fused_refs_matches_single_process(tmp_path):
+    """The fused-refs production path under the real distributed
+    runtime: slot-midpoint refs, device-0 overflow block, and the
+    slot->edge translation all span two processes."""
+    p0 = _run_pair(str(tmp_path / "mpf"), 9735, "fused")
+    np.testing.assert_allclose(
+        p0, _single_reference(fused_midpoints=True), rtol=1e-5, atol=1e-6
+    )
