@@ -560,6 +560,26 @@ class GraphEmbedderTPU:
     # public API (mirrors the reference engine surface)
     # ------------------------------------------------------------------ #
 
+    @staticmethod
+    def _host_value(x):
+        """Device array -> host numpy, multi-host aware.
+
+        A multi-process REPLICATED array is not fully addressable, but
+        every process holds the full value in each local shard.
+        """
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            x = x.addressable_data(0)
+        return np.asarray(x)
+
+    def _place_state(self, value, dtype):
+        """Host array -> device array for engine state (positions, key).
+
+        ShardedGraphEmbedder overrides this to produce globally-replicated
+        arrays on multi-process meshes.
+        """
+        with jax.default_device(self.device):
+            return jnp.asarray(value, dtype)
+
     @property
     def positions(self):
         """Positions as a host numpy array (reference :324-327).
@@ -568,12 +588,7 @@ class GraphEmbedderTPU:
         renumbering is undone here (host-side fancy index, off the hot
         path).
         """
-        pos = self._positions
-        if hasattr(pos, "is_fully_addressable") and not pos.is_fully_addressable:
-            # multi-host replicated array: every process holds the full
-            # value in each of its addressable shards
-            pos = pos.addressable_data(0)
-        pos = np.asarray(pos)
+        pos = self._host_value(self._positions)
         if self._perm is not None:
             pos = pos[self._inv_perm]
         return pos
@@ -583,8 +598,7 @@ class GraphEmbedderTPU:
         value = np.asarray(value)
         if self._perm is not None:
             value = value[self._perm]
-        with jax.default_device(self.device):
-            self._positions = jnp.asarray(value, self.dtype)
+        self._positions = self._place_state(value, self.dtype)
 
     def get_positions(self):
         """Positions as a numpy array."""
@@ -655,7 +669,7 @@ class GraphEmbedderTPU:
         np.savez(
             path,
             positions=self.positions,
-            key=np.asarray(self._key),
+            key=self._host_value(self._key),
             iteration=self._iteration,
             n=self.n,
             n_components=self.n_components,
@@ -683,8 +697,7 @@ class GraphEmbedderTPU:
         # checkpoints store USER-order positions; the setter re-applies
         # the internal renumbering when the binned engine is active
         self.positions = data["positions"]
-        with jax.default_device(self.device):
-            self._key = jnp.asarray(data["key"], jnp.uint32)
+        self._key = self._place_state(data["key"], jnp.uint32)
         self._iteration = int(data["iteration"])
 
     def display_layout(self, edge_width=1, node_size=3, node_colors=None):

@@ -359,10 +359,16 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
     col_rev[r] = np.arange(E, dtype=np.int32) - rev_start[e1[r]]
     col_rev += deg_fwd[e1].astype(np.int32)           # absolute row column
 
-    # flat slot space: vertex i owns vcap[i] consecutive slots
-    slot_off = np.concatenate(
-        [[0], np.cumsum(vcap)]
-    ).astype(np.int32)
+    # flat slot space: vertex i owns vcap[i] consecutive slots. The sum
+    # can exceed 2E (bucket caps pad rows), so re-check the int32 bound
+    # on the ACTUAL slot total before narrowing.
+    slot_off64 = np.concatenate([[0], np.cumsum(vcap, dtype=np.int64)])
+    if int(slot_off64[-1]) >= 2**31:
+        raise ValueError(
+            f"neighbor-table slot space needs int32 indices: "
+            f"{int(slot_off64[-1])} slots exceeds 2^31"
+        )
+    slot_off = slot_off64.astype(np.int32)
     in_t_fwd = col_fwd < vcap[e0]
     in_t_rev = col_rev < vcap[e1]
     flat_table = np.repeat(

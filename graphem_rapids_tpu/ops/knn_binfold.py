@@ -249,7 +249,11 @@ def knn_binfold(queries, refs, k, T=None, G=None, recall_target=0.95,
     T_auto, G_auto = params_for(k, recall_target)
     T_use, G_use = int(T or T_auto), int(G or G_auto)
     if E > MAX_REFS:
-        n_seg = -(-E // MAX_REFS)
+        # segment length is a T-multiple AND <= MAX_REFS for ANY T: size
+        # n_seg against the largest T-multiple under the bound, so the
+        # round-up below can never push a segment's index lanes past 2^24
+        seg_max = (MAX_REFS // T_use) * T_use
+        n_seg = -(-E // seg_max)
         seg_raw = -(-E // n_seg)                  # ceil(E / n_seg)
         seg = -(-seg_raw // T_use) * T_use        # rounded up to T
         return _binfold_segments(

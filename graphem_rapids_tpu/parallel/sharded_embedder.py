@@ -106,6 +106,17 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
         self._raw_step = None
         return bound_step
 
+    def _place_state(self, value, dtype):
+        """Engine state on multi-process meshes must be a GLOBAL array
+        (the positions setter and load_checkpoint route through here, so
+        checkpoint save/resume works mid multi-host run)."""
+        if getattr(self, "_multiprocess", False):
+            import numpy as _np
+
+            return replicate_to_mesh(_np.asarray(value).astype(dtype),
+                                     self.mesh)
+        return super()._place_state(value, dtype)
+
     def update_positions(self, sample_indices=None):
         if self.n_edges == 0:
             return

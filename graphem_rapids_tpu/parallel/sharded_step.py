@@ -261,6 +261,11 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             # VPU math over the spring gather (pn/pv) — no extra HBM rows.
             # Invalid slots (pads, j>i duplicates) push to REF_PAD; the
             # overflow refs appear once (device 0), masked elsewhere.
+            # NOTE: per-device re-statement of ops/forces.py
+            # midpoint_refs_from_gathered (slot formula + REF_PAD masking
+            # + overflow append) — keep the two in lockstep; the
+            # tests/test_sharded.py fused 1-vs-N exactness gates catch
+            # any drift.
             rv_loc = jax.lax.dynamic_slice(
                 ops["ref_valid_pad"], (i * n_loc, 0), (n_loc, ref_cap)
             )

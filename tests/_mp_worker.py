@@ -45,8 +45,14 @@ emb = ShardedGraphEmbedder(
 assert emb._multiprocess
 if fused:
     assert emb._fused_refs_active
-for _ in range(3):
+for _ in range(2):
     emb.update_positions()
+# checkpoint save/load roundtrip mid multi-host run (every process
+# writes+reads its own copy; contents are identical by replication)
+ck = f"{out}.ck{pid}.npz"
+emb.save_checkpoint(ck)
+emb.load_checkpoint(ck)
+emb.update_positions()
 pos = emb.positions
 assert np.isfinite(pos).all()
 np.savez(f"{out}.p{pid}.npz", positions=pos)

@@ -8,11 +8,18 @@ match a single-process mesh of the same global device count.
 """
 
 import os
+import socket
 import subprocess
 import sys
 
 import numpy as np
 import pytest
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 import graphem_rapids_tpu as gr
 from graphem_rapids_tpu.parallel import ShardedGraphEmbedder, make_mesh
@@ -65,7 +72,7 @@ def _single_reference(**kw):
 def test_two_process_mesh_matches_single_process(tmp_path):
     # single-process reference on the same global device count (the
     # pytest process holds 8 virtual devices; use 4)
-    p0 = _run_pair(str(tmp_path / "mp"), 9734)
+    p0 = _run_pair(str(tmp_path / "mp"), _free_port())
     np.testing.assert_allclose(
         p0, _single_reference(), rtol=1e-5, atol=1e-6
     )
@@ -76,7 +83,7 @@ def test_two_process_fused_refs_matches_single_process(tmp_path):
     """The fused-refs production path under the real distributed
     runtime: slot-midpoint refs, device-0 overflow block, and the
     slot->edge translation all span two processes."""
-    p0 = _run_pair(str(tmp_path / "mpf"), 9735, "fused")
+    p0 = _run_pair(str(tmp_path / "mpf"), _free_port(), "fused")
     np.testing.assert_allclose(
         p0, _single_reference(fused_midpoints=True), rtol=1e-5, atol=1e-6
     )
