@@ -158,6 +158,40 @@ def test_build_sharded_step_approx_local_branch():
 
 
 @pytest.mark.fast
+def test_sharded_fused_refs_with_approx_local():
+    """The PRODUCTION TPU-mesh program shape — fused slot-midpoint refs
+    AND the approx_min_k local top-k (both auto only on TPU meshes) —
+    must compile and stay finite when forced on the CPU mesh, covering
+    the fused R_loc lane-padding path (SL+O2 not a 128 multiple)."""
+    adj = gr.generate_random_regular(n=120, d=6, seed=2)
+    rows, cols = adj.nonzero()
+    mask = rows < cols
+    edges = np.column_stack([rows[mask], cols[mask]])
+    mesh = make_mesh(4)
+    from graphem_rapids_tpu.ops.forces import build_neighbor_table
+
+    nb = build_neighbor_table(edges.astype(np.int64), 120)
+    step, multi, ops = build_sharded_step(
+        mesh, 120, len(edges), n_components=3, k_attr=0.2, L_min=1.0,
+        k_inter=0.5, n_neighbors=5, sample_size=16, nb=nb,
+        use_approx_local=True, fused_refs=True,
+    )
+    assert "ref_valid_pad" in ops
+    import jax.numpy as jnp
+
+    edges_p, valid = pad_edges(edges, 4)
+    pos = jnp.asarray(
+        np.random.default_rng(0).standard_normal((120, 3)), jnp.float32
+    )
+    key = jax.random.PRNGKey(0)
+    new_pos, _ = multi(
+        pos, jnp.asarray(edges_p), jnp.asarray(valid), key, ops,
+        num_steps=3,
+    )
+    assert np.isfinite(np.asarray(new_pos)).all()
+
+
+@pytest.mark.fast
 def test_sharded_overflow_plan_matches_single_chip():
     """Skewed graph where the table cap spills hub rows into the
     block-fold overflow plan (ops/forces.py build_overflow_plan): the
