@@ -48,7 +48,27 @@ def build_graph():
 
 
 def run_tpu_bench(knn_strategy="auto"):
+    import threading
 
+    # The axon backend can wedge (session lock held by a dead client —
+    # scripts/tpu_health.py); backend init then blocks forever inside
+    # jax.devices(). Exit with a diagnostic instead of hanging the
+    # harness; no metric line is printed (never fake numbers).
+    ready = threading.Event()
+
+    def watchdog():
+        if not ready.wait(1200):
+            print("bench.py: TPU backend init exceeded 20 min — backend "
+                  "wedged? (scripts/tpu_health.py)", file=sys.stderr,
+                  flush=True)
+            os._exit(1)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    import jax
+
+    jax.devices()
+    ready.set()
 
     import graphem_rapids_tpu as gr
 
