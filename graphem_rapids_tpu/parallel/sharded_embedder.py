@@ -29,16 +29,13 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
     engine and replaces the layout step with the shard_map version.
     """
 
-    # the sharded step slices one flat vertex table across the mesh;
-    # the degree-binned structure is a single-chip optimization for now
+    # Default: one flat vertex table sliced across the mesh. Pass
+    # binned_table=True to opt into the degree-binned sharded step
+    # (bucket-row-sharded tables — build_sharded_step docstring);
+    # stays opt-in until hardware-measured on a real mesh.
     _wants_binned_table = False
 
     def __init__(self, adjacency, n_components=2, mesh=None, **kwargs):
-        if kwargs.get("binned_table"):
-            raise ValueError(
-                "binned_table is a single-chip optimization; the sharded "
-                "tier slices one flat vertex table across the mesh"
-            )
         self.mesh = mesh if mesh is not None else default_mesh()
         self._n_mesh_devices = int(
             np.prod(list(self.mesh.shape.values()))
@@ -49,7 +46,13 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
         return "sharded"
 
     def _build_step(self):
-        edges_p, valid = pad_edges(self._edges_np, self._n_mesh_devices)
+        # self.edges carries the engine's edge numbering: the internal
+        # (renumbered, lexsorted) list when the binned table is active,
+        # the user-order list otherwise — sampling, ref maps, and the
+        # intersection dedup all speak that numbering.
+        edges_p, valid = pad_edges(
+            np.asarray(self.edges), self._n_mesh_devices
+        )
         self._edges_padded = jnp.asarray(edges_p)
         self._valid = jnp.asarray(valid)
 
@@ -84,7 +87,9 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
             import jax
 
             sharded_ops = jax.tree.map(rep, sharded_ops)
-        self._fused_refs_active = "ref_valid_pad" in sharded_ops
+        self._fused_refs_active = (
+            "ref_valid_pad" in sharded_ops or "bref_valid" in sharded_ops
+        )
 
         # The inherited run_layout/update_positions thread self._step_ops;
         # here it is the sharded operand pytree from build_sharded_step

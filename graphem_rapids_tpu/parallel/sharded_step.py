@@ -72,14 +72,22 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     neighbor table etc. — jit arguments, not closure constants), and the
     function internally slices the per-device shard by axis index.
 
-    nb : optional neighbor-table dict from ops.forces.build_neighbor_table.
+    nb : optional neighbor-table dict — either the flat
+        ops.forces.build_neighbor_table structure or the degree-binned
+        build_neighbor_table_binned one (detected by its 'buckets' key).
         When given, spring forces use the VERTEX-sharded dense-table gather
         (each device gathers only its n/ndev table rows, then one tiled
         all_gather assembles the (n, d) force array) — the per-chip HBM
         gather row count, the single-chip bottleneck (docs/ROADMAP.md),
         scales down with the mesh, and the wire cost drops from a full
-        (n, d) psum to an (n/ndev, d) all_gather. Without nb, falls back
-        to the edge-sharded segment-sum + psum formulation.
+        (n, d) psum to an (n/ndev, d) all_gather. With the BINNED dict,
+        each bucket's table is row-padded to a device-divisible count and
+        every device owns 1/ndev of every bucket's rows (identical shapes
+        per device — SPMD-uniform) so the per-device gather row count
+        keeps the binning win; edge ids then live in the binned engine's
+        internal numbering (pass its edges_int + edge_user ordering).
+        Without nb, falls back to the edge-sharded segment-sum + psum
+        formulation.
     fused_refs : None/bool. When active, the kNN reference set is the slot
         midpoints derived from the SAME vertex-sharded table gather the
         spring pass already paid for (the multi-chip analog of the
@@ -121,7 +129,104 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     # literals in the jaxpr and trace+lower then costs minutes per
     # process (measured single-chip, models/embedder.py _build_step).
     step_ops = {}
-    if nb is not None:
+    binned = nb is not None and "buckets" in nb
+    if binned:
+        # ---- degree-binned tables, bucket-row-sharded (opt-in) ------- #
+        # Each bucket's (count_g, cap_g) table is row-padded to a
+        # device-divisible count and every device owns 1/ndev of EVERY
+        # bucket's rows — identical shapes on all devices (SPMD-uniform),
+        # while the per-device gather row count keeps the binning win
+        # (sum count_g*cap_g / ndev instead of n*C_flat / ndev). The
+        # internal vertex/edge numbering is the single-chip binned
+        # engine's own, so 1-vs-N trajectories stay exactly comparable.
+        geoms = []
+        for b in nb["buckets"]:
+            cnt, cap = int(b["count"]), int(b["cap"])
+            rc = min(int(b["ref_cap"]), cap)
+            loc = (cnt + n_devices - 1) // n_devices
+            geoms.append({
+                "start": int(b["start"]), "count": cnt, "cap": cap,
+                "rc": rc, "loc": loc, "pad": loc * n_devices,
+            })
+        btables, bowns = [], []
+        for gm, b in zip(geoms, nb["buckets"]):
+            t = np.asarray(b["table"])
+            if gm["pad"] != gm["count"]:
+                t = np.concatenate([
+                    t, np.full((gm["pad"] - gm["count"], gm["cap"]),
+                               gm["start"], np.int32)
+                ])
+            btables.append(jnp.asarray(t))
+            own = np.full(gm["pad"], gm["start"], np.int32)
+            own[:gm["count"]] = np.arange(
+                gm["start"], gm["start"] + gm["count"], dtype=np.int32
+            )
+            bowns.append(jnp.asarray(own))
+        step_ops["btables"] = btables
+        step_ops["bowns"] = bowns
+        ov_plan = nb.get("overflow_plan")
+        if ov_plan is not None:
+            step_ops["ov_plan"] = {
+                "pairs": jnp.asarray(ov_plan["pairs"]),
+                "block_hub": jnp.asarray(ov_plan["block_hub"]),
+                "hub_ids": jnp.asarray(ov_plan["hub_ids"]),
+            }
+        elif len(nb["overflow"]):
+            step_ops["nb_overflow"] = jnp.asarray(nb["overflow"])
+        step_ops["edge_order"] = jnp.asarray(nb["edge_user"], jnp.int32)
+
+        O2 = int(len(nb["overflow_lt"]))
+        n_ref_slots = int(nb["ref_edge"].shape[0])
+        if fused_refs is None:
+            fused_refs = (
+                mesh.devices.flat[0].platform == "tpu"
+                and E > 0
+                and n_ref_slots <= 4 * E
+            )
+        if fused_refs:
+            # per-device local ref-tile layout: bucket segments of
+            # loc_g*rc_g slots (rc_g>0 buckets only), then the shared
+            # overflow block; the global PADDED ref space mirrors it with
+            # pad_g*rc_g per bucket
+            ref_edge_all = np.asarray(nb["ref_edge"])
+            ref_valid_all = np.asarray(nb["ref_valid"])
+            bref_valid, re_parts = [], []
+            seg_meta = []  # (seg_off_local, seg_len_local, roff_global)
+            seg_off = 0
+            roff = 0
+            ref_off = 0  # cursor into the UNPADDED global ref space
+            for gm in geoms:
+                rc, cnt, loc = gm["rc"], gm["count"], gm["loc"]
+                if rc == 0:
+                    continue
+                rv = ref_valid_all[ref_off:ref_off + cnt * rc].reshape(
+                    cnt, rc
+                )
+                re = ref_edge_all[ref_off:ref_off + cnt * rc].reshape(
+                    cnt, rc
+                )
+                if gm["pad"] != cnt:
+                    z = gm["pad"] - cnt
+                    rv = np.concatenate([rv, np.zeros((z, rc), bool)])
+                    re = np.concatenate([re, np.zeros((z, rc), np.int32)])
+                bref_valid.append(jnp.asarray(rv))
+                re_parts.append(re.reshape(-1))
+                seg_meta.append((seg_off, loc * rc, roff))
+                seg_off += loc * rc
+                roff += gm["pad"] * rc
+                ref_off += cnt * rc
+            SL = seg_off          # per-device slot-ref count (static)
+            G_total = roff        # padded global ref-space size
+            if SL == 0:
+                fused_refs = False  # no i<j ref slots at all
+            step_ops["bref_valid"] = bref_valid
+            re_pad = np.concatenate(
+                re_parts + [ref_edge_all[ref_off:]]
+            ) if re_parts else ref_edge_all[ref_off:]
+            step_ops["ref_edge_pad"] = jnp.asarray(re_pad)
+            if O2:
+                step_ops["overflow_lt"] = jnp.asarray(nb["overflow_lt"])
+    elif nb is not None:
         n_loc = (n + n_devices - 1) // n_devices
         n_pad = n_loc * n_devices
         table = nb["table"]
@@ -202,7 +307,53 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             p1 = positions[edges_loc[:, 0]]
             p2 = positions[edges_loc[:, 1]]
 
-        if nb is not None:
+        if binned:
+            # ---- spring: bucket-row-sharded gathers + all_gathers ---- #
+            # static unroll over <=8 buckets; identical shapes on every
+            # device. pv/pn per bucket are reused by the fused refs below.
+            blocks, bpv, bpn = [], [], []
+            for g, gm in enumerate(geoms):
+                tblg = jax.lax.dynamic_slice(
+                    ops["btables"][g], (i * gm["loc"], 0),
+                    (gm["loc"], gm["cap"]),
+                )
+                owng = jax.lax.dynamic_slice(
+                    ops["bowns"][g], (i * gm["loc"],), (gm["loc"],)
+                )
+                png = positions[tblg]                 # (loc_g, cap_g, d)
+                pvg = positions[owng]
+                bpv.append(pvg)
+                bpn.append(png)
+                if gm["cap"] == 0:
+                    # isolated vertices: zero spring force, no collective
+                    blocks.append(jnp.zeros(
+                        (gm["count"], positions.shape[1]), positions.dtype
+                    ))
+                    continue
+                dvg = png - pvg[:, None, :]
+                ddg = jnp.linalg.norm(dvg, axis=-1, keepdims=True) + EPS
+                fvg = (-k_attr * (ddg - L_min)) * (dvg / ddg)
+                blocks.append(jax.lax.all_gather(
+                    fvg.sum(axis=1), axis_name, tiled=True
+                )[:gm["count"]])
+            spring = jnp.concatenate(blocks, axis=0)  # (n, d)
+            if "ov_plan" in step_ops:
+                spring = apply_overflow_plan(
+                    spring, positions,
+                    {**ops["ov_plan"], "block": ov_plan["block"]},
+                    k_attr, L_min,
+                )
+            elif "nb_overflow" in step_ops:
+                nb_overflow = ops["nb_overflow"]
+                pvo = positions[nb_overflow[:, 0]]
+                puo = positions[nb_overflow[:, 1]]
+                do = puo - pvo
+                ddo = jnp.linalg.norm(do, axis=1, keepdims=True) + EPS
+                fo = (-k_attr * (ddo - L_min)) * (do / ddo)
+                spring = spring + jax.ops.segment_sum(
+                    fo, nb_overflow[:, 0], num_segments=n
+                )
+        elif nb is not None:
             # ---- spring: vertex-sharded table gather + all_gather ---- #
             tbl = jax.lax.dynamic_slice(
                 ops["table_pad"], (i * n_loc, 0), (n_loc, D_tbl)
@@ -256,7 +407,40 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         q_mid = (positions[q_edges[:, 0]] + positions[q_edges[:, 1]]) / 2.0
 
         # ---- sharded kNN: local top-(k+1), all_gather, exact merge --- #
-        if fused_refs:
+        if fused_refs and binned:
+            # binned fused refs: per-bucket slot midpoints from the spring
+            # gathers above (same layout as ops/forces.py
+            # midpoint_refs_binned, row-sharded); pads/j>i masked to
+            # REF_PAD, overflow block on device 0 only.
+            d_ = positions.shape[1]
+            mids = []
+            for (seg_off_g, seg_len_g, roff_g), (g, gm) in zip(
+                seg_meta,
+                [(g, gm) for g, gm in enumerate(geoms) if gm["rc"] > 0],
+            ):
+                rvg = jax.lax.dynamic_slice(
+                    ops["bref_valid"][len(mids)], (i * gm["loc"], 0),
+                    (gm["loc"], gm["rc"]),
+                )
+                midg = (bpv[g][:, None, :] + bpn[g][:, :gm["rc"]]) * 0.5
+                mids.append(jnp.where(
+                    rvg.reshape(seg_len_g)[:, None],
+                    midg.reshape(seg_len_g, d_),
+                    jnp.asarray(REF_PAD_VALUE, positions.dtype),
+                ))
+            mid_loc = jnp.concatenate(mids, axis=0)   # (SL, d)
+            if O2:
+                ovlt = ops["overflow_lt"]
+                ov_mid = (
+                    positions[ovlt[:, 0]] + positions[ovlt[:, 1]]
+                ) * 0.5
+                ov_mid = jnp.where(
+                    i == 0, ov_mid,
+                    jnp.asarray(REF_PAD_VALUE, positions.dtype),
+                )
+                mid_loc = jnp.concatenate([mid_loc, ov_mid], axis=0)
+            R_loc = SL + O2
+        elif fused_refs:
             # reference tile = this device's table-slot midpoints, pure
             # VPU math over the spring gather (pn/pv) — no extra HBM rows.
             # Invalid slots (pads, j>i duplicates) push to REF_PAD; the
@@ -326,7 +510,23 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             neg, idx_loc = jax.lax.top_k(-d2, kk)
             vals_loc = -neg
         idx_loc = idx_loc.astype(jnp.int32)
-        if fused_refs:
+        if fused_refs and binned:
+            # local slot -> global padded-ref index, per bucket segment:
+            # device i owns rows [i*loc_g, (i+1)*loc_g) of bucket g, so
+            # local (seg_off_g + r) maps to roff_g + i*seg_len_g + r; the
+            # shared overflow block lives at [G_total, +O2). Static
+            # unroll over <=8 segments.
+            idx_glob = idx_loc - SL + G_total  # overflow default
+            for seg_off_g, seg_len_g, roff_g in seg_meta:
+                in_seg = (idx_loc >= seg_off_g) & (
+                    idx_loc < seg_off_g + seg_len_g
+                )
+                idx_glob = jnp.where(
+                    in_seg,
+                    idx_loc - seg_off_g + roff_g + i * seg_len_g,
+                    idx_glob,
+                )
+        elif fused_refs:
             # local slot j -> global padded-ref index: device slots are
             # vertex-major (device i owns slots [i*SL, (i+1)*SL)); the
             # shared overflow block lives at [n_pad*ref_cap, +O2)
@@ -352,7 +552,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         # ---- intersection repulsion (replicated, O(S*k)) ------------- #
         if knn_idx.shape[1] > 0:
             inter = intersection_forces(
-                positions, edges_full, knn_idx, sampled, k_inter
+                positions, edges_full, knn_idx, sampled, k_inter,
+                edge_order=ops.get("edge_order"),
             )
         else:
             inter = jnp.zeros_like(positions)

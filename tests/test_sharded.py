@@ -329,3 +329,45 @@ def test_sharded_fused_refs_with_overflow_refs():
     np.testing.assert_allclose(
         fused.positions, single.positions, rtol=5e-3, atol=5e-4
     )
+
+
+@pytest.mark.fast
+def test_sharded_binned_matches_single_chip_binned():
+    """Opt-in degree-binned sharded tables (bucket-row-sharded): the
+    trajectory must be exact against the single-chip BINNED engine —
+    same internal numbering, so the same sampled edges — for both the
+    fused-refs and unfused kNN paths, on a hub-heavy graph exercising
+    ref-cap packing and the overflow plan."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    e = [(0, j) for j in range(1, 600)] + [(1, j) for j in range(2, 200)]
+    e += [(min(a, b), max(a, b))
+          for a, b in rng.integers(0, n, (5000, 2)) if a != b]
+    e = np.unique(np.array(sorted(set(e)), np.int64), axis=0)
+    adj = sp.coo_matrix(
+        (np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(n, n)
+    ).tocsr()
+    adj = adj + adj.T
+    adj.data[:] = 1
+
+    for fused in (True, False):
+        single = gr.GraphEmbedderTPU(
+            adj, n_components=3, seed=7, verbose=False, sample_size=128,
+            n_neighbors=6, binned_table=True, fused_midpoints=fused,
+        )
+        assert single._perm is not None  # binned is active
+        sharded = ShardedGraphEmbedder(
+            adj, n_components=3, mesh=make_mesh(8), seed=7, verbose=False,
+            sample_size=128, n_neighbors=6, binned_table=True,
+            fused_midpoints=fused,
+        )
+        assert "buckets" in sharded._nb
+        assert sharded._fused_refs_active == fused
+        for _ in range(4):
+            single.update_positions()
+            sharded.update_positions()
+        np.testing.assert_allclose(
+            sharded.positions, single.positions, rtol=5e-3, atol=5e-4
+        )
