@@ -14,7 +14,9 @@ import sys
 pid, nproc, port, out = (
     int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 )
-fused = len(sys.argv) > 5 and sys.argv[5] == "fused"
+mode = sys.argv[5] if len(sys.argv) > 5 else ""
+fused = mode == "fused"
+binned = mode == "binned"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 os.environ.setdefault("GRAPHEM_RAPIDS_QUIET", "true")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -40,11 +42,14 @@ adj = gr.erdos_renyi_graph(120, 0.08, seed=4)
 emb = ShardedGraphEmbedder(
     adj, n_components=3, mesh=make_mesh(), seed=11, verbose=False,
     sample_size=64, n_neighbors=6,
-    fused_midpoints=True if fused else None,
+    fused_midpoints=True if (fused or binned) else None,
+    binned_table=True if binned else None,
 )
 assert emb._multiprocess
-if fused:
+if fused or binned:
     assert emb._fused_refs_active
+if binned:
+    assert "buckets" in emb._nb
 for _ in range(2):
     emb.update_positions()
 # checkpoint save/load roundtrip mid multi-host run (every process

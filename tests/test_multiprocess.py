@@ -79,6 +79,18 @@ def test_two_process_mesh_matches_single_process(tmp_path):
 
 
 @pytest.mark.multichip
+def test_two_process_binned_matches_single_process(tmp_path):
+    """The opt-in binned-sharded tier (bucket-row-sharded tables + fused
+    refs) under the real distributed runtime."""
+    p0 = _run_pair(str(tmp_path / "mpb"), _free_port(), "binned")
+    np.testing.assert_allclose(
+        p0,
+        _single_reference(fused_midpoints=True, binned_table=True),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+@pytest.mark.multichip
 def test_two_process_fused_refs_matches_single_process(tmp_path):
     """The fused-refs production path under the real distributed
     runtime: slot-midpoint refs, device-0 overflow block, and the
