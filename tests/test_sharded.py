@@ -371,3 +371,31 @@ def test_sharded_binned_matches_single_chip_binned():
         np.testing.assert_allclose(
             sharded.positions, single.positions, rtol=5e-3, atol=5e-4
         )
+
+
+@pytest.mark.fast
+def test_sharded_binned_tiny_buckets():
+    """Buckets smaller than the device count (count_g < ndev): padded
+    rows and clamped dynamic_slice reads must not leak into forces or
+    the ref space — exact vs the single-chip binned engine."""
+    adj = gr.erdos_renyi_graph(60, 0.12, seed=6)
+    single = gr.GraphEmbedderTPU(
+        adj, n_components=2, seed=3, verbose=False, sample_size=32,
+        n_neighbors=4, binned_table=True, fused_midpoints=True,
+    )
+    if single._perm is None:
+        pytest.skip("bucket plan degenerated to one bucket")
+    sharded = ShardedGraphEmbedder(
+        adj, n_components=2, mesh=make_mesh(8), seed=3, verbose=False,
+        sample_size=32, n_neighbors=4, binned_table=True,
+        fused_midpoints=True,
+    )
+    assert any(
+        b["count"] < 8 for b in sharded._nb["buckets"]
+    ), "test wants at least one bucket smaller than the mesh"
+    for _ in range(4):
+        single.update_positions()
+        sharded.update_positions()
+    np.testing.assert_allclose(
+        sharded.positions, single.positions, rtol=5e-3, atol=5e-4
+    )
