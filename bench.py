@@ -47,8 +47,54 @@ def build_graph():
     return sp.csr_matrix(nx.adjacency_matrix(G, dtype=int))
 
 
+def wait_for_healthy_backend(attempts=8, probe_budget_s=120,
+                             retry_sleep_s=60):
+    """Poll scripts/tpu_health.py until the backend answers, bounded.
+
+    The axon backend recovers from transient errors in ~2 min but a
+    wedged session lock blocks jax.devices() FOREVER — so never start
+    backend init until a probe subprocess (which registers with a finite
+    claim timeout and exits cleanly either way) reports HEALTHY.
+    Total worst-case wait: attempts * (probe_budget + 15 + retry_sleep).
+    """
+    import subprocess
+
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "tpu_health.py")
+    if not os.path.exists(probe):
+        return True  # nothing to poll with; let init try directly
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
+    for attempt in range(1, attempts + 1):
+        try:
+            res = subprocess.run(
+                [sys.executable, probe, str(probe_budget_s)],
+                env=env, capture_output=True, text=True,
+                timeout=probe_budget_s + 60,
+            )
+        except subprocess.TimeoutExpired:
+            res = None
+        if res is not None and res.returncode == 0:
+            if attempt > 1:
+                print(f"bench.py: backend healthy on probe attempt "
+                      f"{attempt}", file=sys.stderr, flush=True)
+            return True
+        detail = (res.stdout or res.stderr).strip() if res else "probe timeout"
+        print(f"bench.py: health probe {attempt}/{attempts} failed "
+              f"({detail}); retrying in {retry_sleep_s}s",
+              file=sys.stderr, flush=True)
+        if attempt < attempts:
+            time.sleep(retry_sleep_s)
+    return False
+
+
 def run_tpu_bench(knn_strategy="auto"):
     import threading
+
+    if not wait_for_healthy_backend():
+        print("bench.py: TPU backend unhealthy after bounded retries — "
+              "not starting init (scripts/tpu_health.py)",
+              file=sys.stderr, flush=True)
+        sys.exit(1)
 
     # The axon backend can wedge (session lock held by a dead client —
     # scripts/tpu_health.py); backend init then blocks forever inside

@@ -254,8 +254,15 @@ def backend_info_main():  # pragma: no cover - console entry point
     _show_backend_info()
 
 
-if os.environ.get("GRAPHEM_RAPIDS_QUIET", "false").lower() != "true":
-    try:
+# The banner is OPT-IN (unlike the reference's opt-out banner,
+# __init__.py:251-255): printing it calls jax.devices(), which initializes
+# the JAX backend as an import side effect — on this host that pins the
+# platform before a consumer can call jax.config.update('jax_platforms',
+# ...) and on the TPU host it claims the single-user tunnel (ADVICE r1).
+# Use GRAPHEM_RAPIDS_QUIET=false to request it, or the
+# `graphem-rapids-tpu-info` console entry point.
+if os.environ.get("GRAPHEM_RAPIDS_QUIET", "true").lower() in ("false", "0"):
+    try:  # pragma: no cover - cosmetic
         _show_backend_info()
     except Exception:  # pragma: no cover
         pass

@@ -52,12 +52,16 @@ def graphem_seed_selection(embedder, k, num_iterations=20):
     return seeds.tolist()
 
 
-def ndlib_estimated_influence(G, seeds, p=0.1, iterations_count=200):
+def ndlib_estimated_influence(G, seeds, p=0.1, iterations_count=200,
+                              key=None):
     """IC influence estimate with the reference's NDlib semantics
     (influence.py:40-84): returns (influenced_count, iterations).
 
     Uses NDlib when installed; otherwise falls back to the JAX simulator
     (single stochastic run to match NDlib's one-trajectory behavior).
+    ``key`` seeds the fallback simulator (default PRNGKey(0), matching the
+    package's explicit-key RNG discipline); NDlib itself draws from global
+    RNG state exactly as the reference does.
     """
     if _NDLIB_AVAILABLE:
         import networkx as nx
@@ -83,7 +87,7 @@ def ndlib_estimated_influence(G, seeds, p=0.1, iterations_count=200):
     edges, n = _as_edges_and_n(G)
     counts, iters = independent_cascade(
         edges, n, seeds, p=p, num_sims=1, max_iters=iterations_count,
-        key=jax.random.PRNGKey(np.random.randint(0, 2**31)),
+        key=key if key is not None else jax.random.PRNGKey(0),
     )
     return int(counts[0]), iters
 

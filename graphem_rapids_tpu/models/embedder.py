@@ -400,7 +400,7 @@ class GraphEmbedderTPU:
             if len(nb["overflow_lt"]) else None
         )
         if self.fused_midpoints is None:
-            from ..ops.knn import ONESHOT_BUDGET_BYTES
+            from ..ops.knn import oneshot_budget_bytes
             from ..ops.knn_binfold import (
                 MAX_REFS_SEGMENTED as BINFOLD_MAX_REFS,
             )
@@ -414,7 +414,7 @@ class GraphEmbedderTPU:
             if strategy == "binfold":
                 budget_ok = n_ref_slots < BINFOLD_MAX_REFS
             else:
-                budget_ok = S * n_ref_slots * 4 <= ONESHOT_BUDGET_BYTES
+                budget_ok = S * n_ref_slots * 4 <= oneshot_budget_bytes()
             fused_refs = (
                 strategy in ("approx", "binfold")
                 and E > 0

@@ -78,8 +78,16 @@ def _optimal_table_cap(deg, n, max_cap=1024):
     C = np.arange(1, hi + 1)
     n_tail = hist[::-1].cumsum()[::-1]              # |{deg >= c}| at index c
     m_tail = mass[::-1].cumsum()[::-1]              # sum of deg >= c
-    H = n_tail[C + 1]                               # |{deg > C}| (clipped)
-    O = m_tail[C + 1] - C * H + extra
+    H_clip = n_tail[C + 1]                          # |{deg > C}| on CLIPPED deg
+    # True hub count: vertices with deg > hi are clipped INTO bin hi, so
+    # they vanish from H_clip exactly at C == hi — add them back there so
+    # the padding/scatter terms see the real hub count (ADVICE r1). For
+    # C < hi the clipped and true counts coincide.
+    n_over = int((deg > hi).sum()) if max_deg > hi else 0
+    H = H_clip + np.where(C == hi, n_over, 0)
+    # O uses the clipped tail sums (the above-hi surplus enters via
+    # `extra`, constant in C), so it pairs with H_clip, not H.
+    O = m_tail[C + 1] - C * H_clip + extra
     cost = n * C + O + 64 * H + _SCATTER_ROW_COST * (O // 128 + H)
     return int(C[int(np.argmin(cost))])
 

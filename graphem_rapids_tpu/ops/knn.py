@@ -30,11 +30,23 @@ import jax.numpy as jnp
 # (S, E) distance matrix is cheap (<= 32Mi f32 at S=1024).
 EXACT_MAX_REFS = 32768
 DEFAULT_CHUNK = 8192
-# One-shot (S, E) distance buffer budget for the approx tier; beyond this
-# the blockwise scan keeps HBM flat. 8 GiB of fp32 at S=512 is E ~= 4M —
-# measured 2.0 ms for 512x4M on v5e (16 GiB HBM) with headroom for the
-# engine's other buffers.
-ONESHOT_BUDGET_BYTES = 8 << 30
+# Fraction of the device HBM budget the one-shot (S, E) distance buffer for
+# the approx tier may use; beyond it the blockwise scan keeps HBM flat. On a
+# 16 GiB v5e this yields 8 GiB — E ~= 4M at S=512, measured 2.0 ms one-shot
+# with headroom for the engine's other buffers. Derived from the live device
+# budget so a smaller-HBM device engages the scan before the buffer can OOM.
+ONESHOT_HBM_FRACTION = 0.5
+# Test hook: when set, oneshot_budget_bytes() returns this value verbatim.
+ONESHOT_BUDGET_OVERRIDE = None
+
+
+def oneshot_budget_bytes(device=None):
+    """One-shot (S, E) distance-buffer budget from the device HBM budget."""
+    if ONESHOT_BUDGET_OVERRIDE is not None:
+        return ONESHOT_BUDGET_OVERRIDE
+    from ..utils.memory_management import _platform_budget
+
+    return int(_platform_budget(device) * ONESHOT_HBM_FRACTION)
 
 
 def squared_distances(queries, refs):
@@ -149,7 +161,7 @@ def knn_approx(queries, refs, k, chunk_size=DEFAULT_CHUNK,
     """
     S = queries.shape[0]
     E = refs.shape[0]
-    if S * E * 4 <= ONESHOT_BUDGET_BYTES:
+    if S * E * 4 <= oneshot_budget_bytes():
         return _oneshot_approx(queries, refs, int(k),
                                compute_dtype=compute_dtype,
                                recall_target=recall_target)

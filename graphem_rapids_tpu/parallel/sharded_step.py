@@ -219,13 +219,18 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             G_total = roff        # padded global ref-space size
             if SL == 0:
                 fused_refs = False  # no i<j ref slots at all
-            step_ops["bref_valid"] = bref_valid
-            re_pad = np.concatenate(
-                re_parts + [ref_edge_all[ref_off:]]
-            ) if re_parts else ref_edge_all[ref_off:]
-            step_ops["ref_edge_pad"] = jnp.asarray(re_pad)
-            if O2:
-                step_ops["overflow_lt"] = jnp.asarray(nb["overflow_lt"])
+            else:
+                # only populate the fused-ref operands when the path is
+                # actually taken: _fused_refs_active keys off
+                # 'bref_valid' in step_ops, and dead operands would ride
+                # the jit pytree (ADVICE r1)
+                step_ops["bref_valid"] = bref_valid
+                re_pad = np.concatenate(
+                    re_parts + [ref_edge_all[ref_off:]]
+                ) if re_parts else ref_edge_all[ref_off:]
+                step_ops["ref_edge_pad"] = jnp.asarray(re_pad)
+                if O2:
+                    step_ops["overflow_lt"] = jnp.asarray(nb["overflow_lt"])
     elif nb is not None:
         n_loc = (n + n_devices - 1) // n_devices
         n_pad = n_loc * n_devices

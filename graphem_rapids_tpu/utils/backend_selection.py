@@ -151,7 +151,15 @@ def get_optimal_backend(config: BackendConfig):
         else check_device_count()
     )
 
-    if n > LARGE_GRAPH_VERTICES and n_devices > 1:
+    # Auto-select the multi-chip tier only on real accelerator meshes:
+    # a CPU host with forced virtual devices (the test configuration,
+    # XLA_FLAGS=--xla_force_host_platform_device_count=N) must NOT route
+    # big graphs to the CPU-mesh sharded tier — it is slower there than
+    # the single-chip engine. Explicit opt-in stays available via
+    # force_backend='sharded' or mesh_devices=N.
+    if n > LARGE_GRAPH_VERTICES and n_devices > 1 and (
+        has_tpu or config.mesh_devices is not None
+    ):
         return "sharded"
     # Single-device TPU tiers resolve to 'auto': the engine's
     # _resolved_strategy owns the kernel choice (exact / binfold /

@@ -262,13 +262,13 @@ def test_fused_midpoints_auto_rule():
     # ops/__init__ re-exports a `knn` FUNCTION that shadows the submodule
     # on attribute access; resolve the module itself explicitly.
     knn_mod = importlib.import_module("graphem_rapids_tpu.ops.knn")
-    orig = knn_mod.ONESHOT_BUDGET_BYTES
+    orig = knn_mod.ONESHOT_BUDGET_OVERRIDE
     try:
-        knn_mod.ONESHOT_BUDGET_BYTES = 1024
+        knn_mod.ONESHOT_BUDGET_OVERRIDE = 1024
         emb = gr.GraphEmbedderTPU(adj, verbose=False, knn_strategy="approx")
         assert not emb._fused_refs_active
     finally:
-        knn_mod.ONESHOT_BUDGET_BYTES = orig
+        knn_mod.ONESHOT_BUDGET_OVERRIDE = orig
 
 
 @pytest.mark.fast

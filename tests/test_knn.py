@@ -93,6 +93,45 @@ def test_approx_recall():
 
 
 @pytest.mark.fast
+def test_small_budget_forces_scan_path(monkeypatch):
+    """A tiny HBM budget must route knn_approx off the one-shot (S, E)
+    buffer onto the blockwise scan (VERDICT r1 #6) — and the derived
+    budget must come from the device, not a hardcoded constant."""
+    import importlib
+
+    # ops/__init__ re-exports a `knn` FUNCTION that shadows the submodule
+    # on attribute access; resolve the module itself explicitly.
+    knn_mod = importlib.import_module("graphem_rapids_tpu.ops.knn")
+
+    q, r = _points(n_q=32, n_r=4096)
+    k = 10
+
+    calls = {"scan": 0, "oneshot": 0}
+    real_scan, real_oneshot = knn_mod._knn_scanned, knn_mod._oneshot_approx
+
+    def spy_scan(*a, **kw):
+        calls["scan"] += 1
+        return real_scan(*a, **kw)
+
+    def spy_oneshot(*a, **kw):
+        calls["oneshot"] += 1
+        return real_oneshot(*a, **kw)
+
+    monkeypatch.setattr(knn_mod, "_knn_scanned", spy_scan)
+    monkeypatch.setattr(knn_mod, "_oneshot_approx", spy_oneshot)
+
+    monkeypatch.setattr(knn_mod, "ONESHOT_BUDGET_OVERRIDE", 1024)
+    idx, _ = knn_approx(jnp.asarray(q), jnp.asarray(r), k)
+    assert calls == {"scan": 1, "oneshot": 0}
+    assert idx.shape == (32, k)
+
+    monkeypatch.setattr(knn_mod, "ONESHOT_BUDGET_OVERRIDE", None)
+    assert knn_mod.oneshot_budget_bytes() > 32 * 4096 * 4
+    knn_approx(jnp.asarray(q), jnp.asarray(r), k)
+    assert calls["oneshot"] == 1
+
+
+@pytest.mark.fast
 def test_pallas_kernel_matches_brute_force():
     q, r = _points(n_q=16, n_r=700, d=3)
     k = 9

@@ -106,7 +106,10 @@ def test_greedy_compiles_once():
 @pytest.mark.fast
 def test_backend_info_recommendation_matches_policy():
     info = gr.get_backend_info()
-    assert info["recommended_backend"] in ("approx", "chunked")
+    # 'auto' on TPU hosts (engine owns the kernel pick), 'chunked' on CPU
+    # hosts — must hold on BOTH (ADVICE r1: the old ('approx','chunked')
+    # assertion only passed because CI is CPU-only).
+    assert info["recommended_backend"] in ("auto", "chunked")
 
 
 @pytest.mark.fast
