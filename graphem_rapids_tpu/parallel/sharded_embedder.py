@@ -35,11 +35,14 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
     # stays opt-in until hardware-measured on a real mesh.
     _wants_binned_table = False
 
-    def __init__(self, adjacency, n_components=2, mesh=None, **kwargs):
+    def __init__(self, adjacency, n_components=2, mesh=None, knn_comm=None,
+                 **kwargs):
         self.mesh = mesh if mesh is not None else default_mesh()
         self._n_mesh_devices = int(
             np.prod(list(self.mesh.shape.values()))
         )
+        # 'all_gather' (default) or 'ring' — see build_sharded_step
+        self.knn_comm = knn_comm
         super().__init__(adjacency, n_components=n_components, **kwargs)
 
     def _resolved_strategy(self):
@@ -82,6 +85,7 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
             nb=self._nb,
             knn_recall_target=self.knn_recall_target,
             fused_refs=self.fused_midpoints,
+            knn_comm=self.knn_comm,
         )
         if self._multiprocess:
             import jax

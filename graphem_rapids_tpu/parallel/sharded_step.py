@@ -61,7 +61,7 @@ def pad_edges(edges_np, n_devices):
 def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                        n_neighbors, sample_size, nb=None,
                        knn_recall_target=0.95, use_approx_local=None,
-                       fused_refs=None, axis_name=EDGE_AXIS):
+                       fused_refs=None, knn_comm=None, axis_name=EDGE_AXIS):
     """Build the jitted multi-chip update step.
 
     Returns (step, multi_step, step_ops) where
@@ -100,7 +100,20 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         the padded slot count stays <= 4E (same bound as single-chip);
         CPU (test) meshes keep the unfused exact path so the 1-vs-N
         allclose gates stay tie-for-tie comparable.
+    knn_comm : None | 'all_gather' | 'ring'. How per-device kNN candidates
+        are merged into the global neighbor set. 'all_gather' (default)
+        gathers every device's top-kk candidates and re-merges; 'ring'
+        rotates query shards + running top-k carries around the mesh via
+        lax.ppermute (ring-attention analog — SURVEY §2.4/§5.8) so only
+        S*(d + 3k)/ndev elements ride the wire per hop instead of two
+        (ndev, S, kk) gathers at the end. Results match all_gather exactly
+        on tie-free distances (ties: lexicographic-by-ref-index instead of
+        device order).
     """
+    if knn_comm is None:
+        knn_comm = "all_gather"
+    if knn_comm not in ("all_gather", "ring"):
+        raise ValueError(f"Unknown knn_comm: {knn_comm!r}")
     n_devices = int(np.prod(list(mesh.shape.values())))
     E_pad_total = ((E + n_devices - 1) // n_devices) * n_devices
     E_loc = E_pad_total // n_devices
@@ -481,11 +494,9 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             R_loc = E_loc
         kk = min(k + 1, R_loc)
         if use_approx_local:
-            # TPU meshes: local top-k via approx_min_k (PartialReduce) —
-            # the same tier the single-chip approx path uses; the
-            # reference count must be lane-padded (ragged E measured
-            # ~500x slower, BASELINE.md). Pad rows sit at 1e30 so they
-            # are never selected; clamp guards the tiny-shard corner.
+            # TPU meshes: the reference count must be lane-padded for
+            # approx_min_k (ragged E measured ~500x slower, BASELINE.md).
+            # Pad rows sit at 1e30 so they are never selected.
             R_lane = -(-R_loc // 128) * 128
             if R_lane != R_loc:
                 mid_loc = jnp.concatenate([
@@ -495,62 +506,139 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                         mid_loc.dtype,
                     ),
                 ])
-            dt_ = knn_dtype if knn_dtype is not None else q_mid.dtype
-            d2 = squared_distances(
-                q_mid.astype(dt_), mid_loc.astype(dt_)
-            )
-            vals_loc, idx_loc = jax.lax.approx_min_k(
-                d2, kk, recall_target=recall_target
-            )
-            idx_loc = jnp.minimum(idx_loc, R_loc - 1)
-        else:
-            if knn_dtype is not None:
-                # bf16 stays through the local top-k AND the all_gather
-                # merge (halves distance traffic and candidate wire)
+
+        def tile_topk(queries):
+            """Local top-kk of `queries` against THIS device's ref tile."""
+            if use_approx_local:
+                # local top-k via approx_min_k (PartialReduce) — the same
+                # tier the single-chip approx path uses; clamp guards the
+                # tiny-shard corner.
+                dt_ = knn_dtype if knn_dtype is not None else queries.dtype
                 d2 = squared_distances(
-                    q_mid.astype(knn_dtype), mid_loc.astype(knn_dtype)
+                    queries.astype(dt_), mid_loc.astype(dt_)
                 )
+                vals_t, idx_t = jax.lax.approx_min_k(
+                    d2, kk, recall_target=recall_target
+                )
+                idx_t = jnp.minimum(idx_t, R_loc - 1)
             else:
-                d2 = squared_distances(q_mid, mid_loc)  # (S, R_loc)
-            neg, idx_loc = jax.lax.top_k(-d2, kk)
-            vals_loc = -neg
-        idx_loc = idx_loc.astype(jnp.int32)
-        if fused_refs and binned:
-            # local slot -> global padded-ref index, per bucket segment:
-            # device i owns rows [i*loc_g, (i+1)*loc_g) of bucket g, so
-            # local (seg_off_g + r) maps to roff_g + i*seg_len_g + r; the
-            # shared overflow block lives at [G_total, +O2). Static
-            # unroll over <=8 segments.
-            idx_glob = idx_loc - SL + G_total  # overflow default
-            for seg_off_g, seg_len_g, roff_g in seg_meta:
-                in_seg = (idx_loc >= seg_off_g) & (
-                    idx_loc < seg_off_g + seg_len_g
+                if knn_dtype is not None:
+                    # bf16 stays through the local top-k AND the merge
+                    # (halves distance traffic and candidate wire)
+                    d2 = squared_distances(
+                        queries.astype(knn_dtype), mid_loc.astype(knn_dtype)
+                    )
+                else:
+                    d2 = squared_distances(queries, mid_loc)  # (S?, R_loc)
+                neg, idx_t = jax.lax.top_k(-d2, kk)
+                vals_t = -neg
+            return vals_t, idx_t.astype(jnp.int32)
+
+        def to_global(idx_t, dev):
+            """Map tile-local ref indices to the global ref space of
+            device `dev` (the device that owns the tile)."""
+            if fused_refs and binned:
+                # local slot -> global padded-ref index, per bucket
+                # segment: device dev owns rows [dev*loc_g, (dev+1)*loc_g)
+                # of bucket g, so local (seg_off_g + r) maps to
+                # roff_g + dev*seg_len_g + r; the shared overflow block
+                # lives at [G_total, +O2). Static unroll over <=8 segments.
+                idx_glob = idx_t - SL + G_total  # overflow default
+                for seg_off_g, seg_len_g, roff_g in seg_meta:
+                    in_seg = (idx_t >= seg_off_g) & (
+                        idx_t < seg_off_g + seg_len_g
+                    )
+                    idx_glob = jnp.where(
+                        in_seg,
+                        idx_t - seg_off_g + roff_g + dev * seg_len_g,
+                        idx_glob,
+                    )
+                return idx_glob
+            if fused_refs:
+                # local slot j -> global padded-ref index: device slots
+                # are vertex-major (device dev owns slots
+                # [dev*SL, (dev+1)*SL)); the shared overflow block lives
+                # at [n_pad*ref_cap, +O2)
+                return jnp.where(
+                    idx_t < SL,
+                    idx_t + dev * SL,
+                    idx_t - SL + n_pad * ref_cap,
                 )
-                idx_glob = jnp.where(
-                    in_seg,
-                    idx_loc - seg_off_g + roff_g + i * seg_len_g,
-                    idx_glob,
-                )
-        elif fused_refs:
-            # local slot j -> global padded-ref index: device slots are
-            # vertex-major (device i owns slots [i*SL, (i+1)*SL)); the
-            # shared overflow block lives at [n_pad*ref_cap, +O2)
-            idx_glob = jnp.where(
-                idx_loc < SL,
-                idx_loc + i * SL,
-                idx_loc - SL + n_pad * ref_cap,
-            )
-        else:
-            idx_glob = idx_loc + i * E_loc
-        vals_g = jax.lax.all_gather(vals_loc, axis_name)  # (ndev, S, kk)
-        idx_g = jax.lax.all_gather(idx_glob, axis_name)
-        vals_m = jnp.moveaxis(vals_g, 0, 1).reshape(S, n_devices * kk)
-        idx_m = jnp.moveaxis(idx_g, 0, 1).reshape(S, n_devices * kk)
+            return idx_t + dev * E_loc
+
         # the merged candidate pool can be narrower than k+1 on tiny
         # shards (n_devices * kk columns); clamp like the single-chip tier
         k_merge = min(k + 1, n_devices * kk)
-        neg2, pos2 = jax.lax.top_k(-vals_m, k_merge)
-        knn_idx = jnp.take_along_axis(idx_m, pos2, axis=1)[:, 1:]
+        if knn_comm == "ring":
+            # ---- ring merge: rotate query shards + running carry ------ #
+            # The ring-attention analog (SURVEY §2.4/§5.8), with the roles
+            # chosen for the wire: reference tiles are the LARGE operand
+            # (E/ndev midpoints) and stay device-resident; each device's
+            # S/ndev query rows plus their running top-k carry — the
+            # SMALL operand, S*(d + 3k)/ndev elements — rotate around the
+            # ring via lax.ppermute. After ndev rotations every query
+            # shard has met every reference tile and is back home; one
+            # (S/ndev, k_merge) all_gather of the final carries replaces
+            # the two (ndev, S, kk) candidate all_gathers of the default
+            # merge. The merge orders candidates by (distance, global ref
+            # index) via a two-key lax.sort, so the running merge is
+            # associative — device-order independent — and the result
+            # matches the all_gather merge exactly whenever distances are
+            # tie-free (ties: lex order instead of device order).
+            S_loc = -(-S // n_devices)
+            S_pad = S_loc * n_devices
+            q_pad = jnp.concatenate([
+                q_mid,
+                jnp.full((S_pad - S, q_mid.shape[1]), 1e30, q_mid.dtype),
+            ]) if S_pad != S else q_mid
+            q_shard = jax.lax.dynamic_slice(
+                q_pad, (i * S_loc, 0), (S_loc, q_pad.shape[1])
+            )
+            val_dtype = (
+                knn_dtype if knn_dtype is not None else positions.dtype
+            )
+            perm = [(j, (j - 1) % n_devices) for j in range(n_devices)]
+
+            def ring_body(_t, carry):
+                q_sh, vals_c, idx_c = carry
+                v_t, il_t = tile_topk(q_sh)
+                i_t = to_global(il_t, i)  # refs are THIS device's tile
+                vc = jnp.concatenate([vals_c, v_t.astype(val_dtype)], axis=1)
+                ic = jnp.concatenate([idx_c, i_t], axis=1)
+                vs_, is_ = jax.lax.sort(
+                    (vc, ic), dimension=1, num_keys=2
+                )
+                vals_c = jax.lax.slice_in_dim(vs_, 0, k_merge, axis=1)
+                idx_c = jax.lax.slice_in_dim(is_, 0, k_merge, axis=1)
+                return tuple(
+                    jax.lax.ppermute(x, axis_name, perm)
+                    for x in (q_sh, vals_c, idx_c)
+                )
+
+            init = (
+                q_shard,
+                jnp.full((S_loc, k_merge), jnp.inf, val_dtype),
+                jnp.zeros((S_loc, k_merge), jnp.int32),
+            )
+            _, _, idx_home = jax.lax.fori_loop(
+                0, n_devices, ring_body, init
+            )
+            # ndev compute+rotate rounds bring each shard home with its
+            # fully merged carry (sorted ascending; col 0 = self)
+            idx_all = jax.lax.all_gather(
+                idx_home[:, 1:], axis_name
+            )  # (ndev, S_loc, k_merge-1)
+            knn_idx = idx_all.reshape(S_pad, k_merge - 1)[:S]
+        else:
+            # ---- default merge: local top-kk, all_gather, exact merge - #
+            vals_loc, idx_loc = tile_topk(q_mid)
+            idx_glob = to_global(idx_loc, i)
+            vals_g = jax.lax.all_gather(vals_loc, axis_name)  # (ndev,S,kk)
+            idx_g = jax.lax.all_gather(idx_glob, axis_name)
+            vals_m = jnp.moveaxis(vals_g, 0, 1).reshape(S, n_devices * kk)
+            idx_m = jnp.moveaxis(idx_g, 0, 1).reshape(S, n_devices * kk)
+            neg2, pos2 = jax.lax.top_k(-vals_m, k_merge)
+            knn_idx = jnp.take_along_axis(idx_m, pos2, axis=1)[:, 1:]
         if fused_refs:
             knn_idx = ops["ref_edge_pad"][knn_idx]  # ref slots -> edge ids
 

@@ -399,3 +399,148 @@ def test_sharded_binned_tiny_buckets():
     np.testing.assert_allclose(
         sharded.positions, single.positions, rtol=5e-3, atol=5e-4
     )
+
+
+@pytest.mark.fast
+def test_ring_matches_all_gather_unfused():
+    """knn_comm='ring' (query-shard + carry rotation via ppermute) must
+    reproduce the all_gather merge exactly on the f32 CPU mesh — the
+    two-key (distance, ref index) sort selects the same neighbor set
+    whenever distances are tie-free."""
+    adj = gr.erdos_renyi_graph(100, 0.08, seed=2)
+    kw = dict(n_components=2, seed=9, verbose=False, sample_size=48,
+              n_neighbors=6)
+    gather = ShardedGraphEmbedder(adj, mesh=make_mesh(4), **kw)
+    ring = ShardedGraphEmbedder(adj, mesh=make_mesh(4), knn_comm="ring",
+                                **kw)
+    for _ in range(4):
+        gather.update_positions()
+        ring.update_positions()
+    np.testing.assert_array_equal(ring.positions, gather.positions)
+
+
+@pytest.mark.fast
+def test_ring_matches_all_gather_fused_refs():
+    """Ring merge over the fused slot-midpoint ref space (global padded
+    ref indices span per-device vertex-major segments + the device-0
+    overflow block) must match the all_gather merge exactly."""
+    import scipy.sparse as sp
+
+    n = 200
+    rng = np.random.default_rng(7)
+    e = [(0, j) for j in range(1, 160)]
+    e += [(min(a, b), max(a, b))
+          for a, b in rng.integers(0, n, (400, 2)) if a != b]
+    e = np.unique(np.array(sorted(set(e)), np.int64), axis=0)
+    adj = sp.coo_matrix(
+        (np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(n, n)
+    ).tocsr()
+    adj = adj + adj.T
+    adj.data[:] = 1
+
+    kw = dict(n_components=3, seed=13, verbose=False, sample_size=64,
+              n_neighbors=5, fused_midpoints=True)
+    gather = ShardedGraphEmbedder(adj, mesh=make_mesh(4), **kw)
+    ring = ShardedGraphEmbedder(adj, mesh=make_mesh(4), knn_comm="ring",
+                                **kw)
+    assert gather._fused_refs_active and ring._fused_refs_active
+    for _ in range(3):
+        gather.update_positions()
+        ring.update_positions()
+    np.testing.assert_array_equal(ring.positions, gather.positions)
+
+
+@pytest.mark.fast
+def test_ring_matches_all_gather_binned():
+    """Ring merge over the bucket-row-sharded binned ref space (per-
+    bucket segment maps) must match the all_gather merge exactly."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    e = [(0, j) for j in range(1, 600)] + [(1, j) for j in range(2, 200)]
+    e += [(min(a, b), max(a, b))
+          for a, b in rng.integers(0, n, (5000, 2)) if a != b]
+    e = np.unique(np.array(sorted(set(e)), np.int64), axis=0)
+    adj = sp.coo_matrix(
+        (np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(n, n)
+    ).tocsr()
+    adj = adj + adj.T
+    adj.data[:] = 1
+
+    kw = dict(n_components=3, seed=7, verbose=False, sample_size=128,
+              n_neighbors=6, binned_table=True, fused_midpoints=True)
+    gather = ShardedGraphEmbedder(adj, mesh=make_mesh(8), **kw)
+    ring = ShardedGraphEmbedder(adj, mesh=make_mesh(8), knn_comm="ring",
+                                **kw)
+    assert gather._fused_refs_active and ring._fused_refs_active
+    for _ in range(3):
+        gather.update_positions()
+        ring.update_positions()
+    np.testing.assert_array_equal(ring.positions, gather.positions)
+
+
+@pytest.mark.fast
+def test_ring_query_pad_path():
+    """sample_size not divisible by the mesh: the padded 1e30 query rows
+    must be sliced off without polluting real rows — exact vs
+    all_gather, and exact vs a mesh size that divides S."""
+    adj = gr.generate_random_regular(n=120, d=6, seed=2)
+    kw = dict(n_components=3, seed=4, verbose=False, sample_size=50,
+              n_neighbors=5)
+    gather = ShardedGraphEmbedder(adj, mesh=make_mesh(8), **kw)
+    ring = ShardedGraphEmbedder(adj, mesh=make_mesh(8), knn_comm="ring",
+                                **kw)
+    for _ in range(4):
+        gather.update_positions()
+        ring.update_positions()
+    np.testing.assert_array_equal(ring.positions, gather.positions)
+
+
+@pytest.mark.fast
+def test_ring_matches_single_chip():
+    """End-to-end: ring-comm sharded trajectory vs the single-chip
+    engine (same seed => same sampled edges) stays allclose."""
+    adj = gr.erdos_renyi_graph(100, 0.08, seed=2)
+    single = gr.GraphEmbedderTPU(
+        adj, n_components=2, seed=9, verbose=False, sample_size=48,
+        n_neighbors=6,
+    )
+    ring = ShardedGraphEmbedder(
+        adj, n_components=2, mesh=make_mesh(4), seed=9, verbose=False,
+        sample_size=48, n_neighbors=6, knn_comm="ring",
+    )
+    for _ in range(3):
+        single.update_positions()
+        ring.update_positions()
+    np.testing.assert_allclose(
+        ring.positions, single.positions, rtol=5e-3, atol=5e-4
+    )
+
+
+@pytest.mark.fast
+def test_ring_with_approx_local():
+    """Ring merge composed with the approx_min_k local top-k (the TPU
+    production shape) compiles and stays finite on the CPU mesh."""
+    adj = gr.generate_random_regular(n=120, d=6, seed=2)
+    rows, cols = adj.nonzero()
+    mask = rows < cols
+    edges = np.column_stack([rows[mask], cols[mask]])
+    mesh = make_mesh(4)
+    step, multi, ops = build_sharded_step(
+        mesh, 120, len(edges), n_components=3, k_attr=0.2, L_min=1.0,
+        k_inter=0.5, n_neighbors=5, sample_size=16,
+        use_approx_local=True, knn_comm="ring",
+    )
+    import jax.numpy as jnp
+
+    edges_p, valid = pad_edges(edges, 4)
+    pos = jnp.asarray(
+        np.random.default_rng(0).standard_normal((120, 3)), jnp.float32
+    )
+    key = jax.random.PRNGKey(0)
+    new_pos, _ = multi(
+        pos, jnp.asarray(edges_p), jnp.asarray(valid), key, ops,
+        num_steps=3,
+    )
+    assert np.isfinite(np.asarray(new_pos)).all()
