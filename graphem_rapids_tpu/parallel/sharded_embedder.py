@@ -36,17 +36,25 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
     _wants_binned_table = False
 
     def __init__(self, adjacency, n_components=2, mesh=None, knn_comm=None,
-                 **kwargs):
+                 use_binfold_local=None, **kwargs):
         self.mesh = mesh if mesh is not None else default_mesh()
         self._n_mesh_devices = int(
             np.prod(list(self.mesh.shape.values()))
         )
         # 'all_gather' (default) or 'ring' — see build_sharded_step
         self.knn_comm = knn_comm
+        # None = auto (TPU meshes behind a compile probe)
+        self.use_binfold_local = use_binfold_local
         super().__init__(adjacency, n_components=n_components, **kwargs)
 
     def _resolved_strategy(self):
         return "sharded"
+
+    def _init_mesh(self):
+        # single-process meshes only: the sharded Chebyshev runner feeds
+        # host numpy operands straight into a mesh-lowered jit, which on
+        # a multi-HOST mesh would need global-array placement first
+        return None if mesh_is_multiprocess(self.mesh) else self.mesh
 
     def _build_step(self):
         # self.edges carries the engine's edge numbering: the internal
@@ -86,6 +94,7 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
             knn_recall_target=self.knn_recall_target,
             fused_refs=self.fused_midpoints,
             knn_comm=self.knn_comm,
+            use_binfold_local=self.use_binfold_local,
         )
         if self._multiprocess:
             import jax

@@ -61,7 +61,8 @@ def pad_edges(edges_np, n_devices):
 def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                        n_neighbors, sample_size, nb=None,
                        knn_recall_target=0.95, use_approx_local=None,
-                       fused_refs=None, knn_comm=None, axis_name=EDGE_AXIS):
+                       use_binfold_local=None, fused_refs=None,
+                       knn_comm=None, axis_name=EDGE_AXIS):
     """Build the jitted multi-chip update step.
 
     Returns (step, multi_step, step_ops) where
@@ -136,6 +137,25 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             knn_dtype is not None and (E // n_devices) >= 1024
         )
     recall_target = float(knn_recall_target)
+    # binfold local top-k: the fused Pallas distance+bin-min kernel (the
+    # single-chip fast tier, ops/knn_binfold.py) computes each device's
+    # local candidates without materializing the (S, E_loc) distance
+    # buffer — measured faster than the approx_min_k one-shot it
+    # replaces. Auto: TPU meshes with a meaningful per-device tile,
+    # gated by the same compile probe the single-chip engine uses.
+    kk_probe = min(n_neighbors + 1, max(E // n_devices, 1))
+    if use_binfold_local is None:
+        use_binfold_local = False
+        if use_approx_local and (E // n_devices) >= 4096:
+            from ..ops import knn_binfold as _bf
+
+            use_binfold_local = (
+                kk_probe <= 128
+                and _bf.probe(n_components, min(sample_size, E), kk_probe,
+                              recall_target)
+            )
+    if use_binfold_local:
+        use_approx_local = True  # same lane-padding + merge plumbing
 
     # Graph-shaped arrays ride as jit ARGUMENTS via the step_ops pytree,
     # not closure constants — closed-over tables embed tens of MB of
@@ -509,7 +529,19 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
 
         def tile_topk(queries):
             """Local top-kk of `queries` against THIS device's ref tile."""
-            if use_approx_local:
+            if use_binfold_local:
+                # fused Pallas distance + bin-min kernel (the single-chip
+                # fast tier) — no (S, E_loc) distance buffer at all;
+                # distances stay f32 in-kernel (bf16 measured slower,
+                # ops/knn_binfold.py)
+                from ..ops.knn_binfold import knn_binfold
+
+                idx_t, vals_t = knn_binfold(
+                    queries.astype(jnp.float32), mid_loc, kk,
+                    recall_target=recall_target,
+                )
+                idx_t = jnp.minimum(idx_t, R_loc - 1)
+            elif use_approx_local:
                 # local top-k via approx_min_k (PartialReduce) — the same
                 # tier the single-chip approx path uses; clamp guards the
                 # tiny-shard corner.
