@@ -262,7 +262,8 @@ class GraphEmbedderTPU:
                 )
 
             init_np = spectral_init(
-                adjacency, self.n_components, method=init, seed=seed
+                adjacency, self.n_components, method=init, seed=seed,
+                mesh=self._init_mesh(),
             )
             if self._perm is not None:
                 init_np = init_np[self._perm]
@@ -330,6 +331,11 @@ class GraphEmbedderTPU:
         if self.verbose and len(edges) == 0:
             self.logger.warning("No edges found in adjacency matrix")
         return edges
+
+    def _init_mesh(self):
+        """Mesh for the spectral init's sharded Chebyshev tier (None on
+        the single-chip engine; ShardedGraphEmbedder returns its mesh)."""
+        return None
 
     def _resolved_strategy(self):
         if self.knn_strategy != "auto":

@@ -102,42 +102,38 @@ def _adjacency_matvec_plan(A, cap=None):
     }
 
 
-def _cheb_run(X0, table, pad_count, dinv, v0, overflow, ov_plan=None, *,
-              k, degree, n_outer, n, ov_block=0):
-    """Jitted Chebyshev subspace iteration (module-level by design).
+def _overflow_correct(AY, Y, overflow, ov_plan, n, ov_block):
+    """Fold the COO/block-plan overflow tail into the gathered A @ Y."""
+    import jax
 
-    Every array is an ARGUMENT, not a closure constant: closing over the
-    (n, cap) neighbor table embedded ~92 MB of literals in the jaxpr at
-    n=1M, and trace+lower alone took 452 s (compile another 120 s) while
-    the actual execution was 17 s (experiments/cheb_bisect.py). As
-    arguments they are ordinary device buffers, and the jit cache also
-    survives across _spectral_chebyshev calls.
+    if ov_plan is not None:
+        # hub overflow via the block-fold plan: dense per-block sums,
+        # then a tiny scatter onto the H hub rows; (hub, hub) pad
+        # rows each contributed Y[hub], removed via pad_count
+        hub_ids = ov_plan["hub_ids"]
+        Yo = Y[ov_plan["pairs"][:, 1]]
+        blk = Yo.reshape(-1, ov_block, Yo.shape[-1]).sum(axis=1)
+        hub = jax.ops.segment_sum(
+            blk, ov_plan["block_hub"],
+            num_segments=hub_ids.shape[0], indices_are_sorted=True,
+        )
+        hub = hub - ov_plan["pad_count"][:, None] * Y[hub_ids]
+        return AY.at[hub_ids].add(hub)
+    if overflow.shape[0] > 0:
+        return AY + jax.ops.segment_sum(
+            Y[overflow[:, 1]], overflow[:, 0], num_segments=n
+        )
+    return AY
+
+
+def _cheb_iterate(lap_mm, X0, v0, *, k, degree, n_outer):
+    """Chebyshev-filtered subspace iteration over an abstract L @ X.
+
+    Shared by the single-device and mesh-sharded runners — only the SpMV
+    differs (dense-table gather vs row-sharded gather + all_gather).
     """
     import jax
     import jax.numpy as jnp
-
-    def lap_mm(X):
-        """L @ X for (n, s) blocks; gather + row-sum, no scatter."""
-        Y = dinv[:, None] * X
-        AY = Y[table].sum(axis=1) - pad_count[:, None] * Y
-        if ov_plan is not None:
-            # hub overflow via the block-fold plan: dense per-block sums,
-            # then a tiny scatter onto the H hub rows; (hub, hub) pad
-            # rows each contributed Y[hub], removed via pad_count
-            hub_ids = ov_plan["hub_ids"]
-            Yo = Y[ov_plan["pairs"][:, 1]]
-            blk = Yo.reshape(-1, ov_block, Yo.shape[-1]).sum(axis=1)
-            hub = jax.ops.segment_sum(
-                blk, ov_plan["block_hub"],
-                num_segments=hub_ids.shape[0], indices_are_sorted=True,
-            )
-            hub = hub - ov_plan["pad_count"][:, None] * Y[hub_ids]
-            AY = AY.at[hub_ids].add(hub)
-        elif overflow.shape[0] > 0:
-            AY = AY + jax.ops.segment_sum(
-                Y[overflow[:, 1]], overflow[:, 0], num_segments=n
-            )
-        return X - dinv[:, None] * AY
 
     def deflate(X):
         return X - v0[:, None] * (v0 @ X)
@@ -171,6 +167,29 @@ def _cheb_run(X0, table, pad_count, dinv, v0, overflow, ov_plan=None, *,
     return X, ritz_hist[-1]
 
 
+def _cheb_run(X0, table, pad_count, dinv, v0, overflow, ov_plan=None, *,
+              k, degree, n_outer, n, ov_block=0):
+    """Jitted Chebyshev subspace iteration (module-level by design).
+
+    Every array is an ARGUMENT, not a closure constant: closing over the
+    (n, cap) neighbor table embedded ~92 MB of literals in the jaxpr at
+    n=1M, and trace+lower alone took 452 s (compile another 120 s) while
+    the actual execution was 17 s (experiments/cheb_bisect.py). As
+    arguments they are ordinary device buffers, and the jit cache also
+    survives across _spectral_chebyshev calls.
+    """
+
+    def lap_mm(X):
+        """L @ X for (n, s) blocks; gather + row-sum, no scatter."""
+        Y = dinv[:, None] * X
+        AY = Y[table].sum(axis=1) - pad_count[:, None] * Y
+        AY = _overflow_correct(AY, Y, overflow, ov_plan, n, ov_block)
+        return X - dinv[:, None] * AY
+
+    return _cheb_iterate(lap_mm, X0, v0, k=k, degree=degree,
+                         n_outer=n_outer)
+
+
 _cheb_run_jit = None
 
 
@@ -188,8 +207,59 @@ def _get_cheb_run():
     return _cheb_run_jit
 
 
+def _build_cheb_run_sharded(mesh, n, n_loc, *, k, degree, n_outer,
+                            ov_block):
+    """Mesh-sharded Chebyshev runner (SURVEY §7.2 M5).
+
+    The SpMV's dense-table gather — the whole cost of the iteration — is
+    row-sharded over the mesh exactly like the spring-force gather in
+    parallel/sharded_step.py: each device gathers its n/ndev table rows
+    against the replicated (n, s) block and one tiled all_gather
+    assembles A @ X. The O(n s) elementwise work, the tiny overflow
+    tail, and the (n, s) QR / (s, s) eigh stay replicated (s <= ~8).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.mesh import EDGE_AXIS
+
+    P = jax.sharding.PartitionSpec
+    axis_name = EDGE_AXIS
+
+    def body(X0, table_pad, pad_count_pad, own_pad, dinv, v0, overflow,
+             ov_plan):
+        i = jax.lax.axis_index(axis_name)
+        tbl = jax.lax.dynamic_slice(
+            table_pad, (i * n_loc, 0), (n_loc, table_pad.shape[1])
+        )
+        pc = jax.lax.dynamic_slice(pad_count_pad, (i * n_loc,), (n_loc,))
+        # own row ids (pad rows point at 0; their AY rows are garbage
+        # discarded by the [:n] slice) — a plain dynamic_slice of Y would
+        # clamp on the tail device and mis-align its real rows
+        own = jax.lax.dynamic_slice(own_pad, (i * n_loc,), (n_loc,))
+
+        def lap_mm(X):
+            Y = dinv[:, None] * X
+            AY_loc = Y[tbl].sum(axis=1) - pc[:, None] * Y[own]
+            AY = jax.lax.all_gather(AY_loc, axis_name, tiled=True)[:n]
+            AY = _overflow_correct(AY, Y, overflow, ov_plan, n, ov_block)
+            return X - dinv[:, None] * AY
+
+        return _cheb_iterate(lap_mm, X0, v0, k=k, degree=degree,
+                             n_outer=n_outer)
+
+    shard_fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(),) * 8,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
+
+
 def _spectral_chebyshev(adjacency, n_components, seed, n_outer=8,
-                        degree=14, guard=4):
+                        degree=14, guard=4, mesh=None):
     """Chebyshev-filtered subspace iteration for the low end of L.
 
     TPU-native large-n tier. Ingredients:
@@ -240,11 +310,41 @@ def _spectral_chebyshev(adjacency, n_components, seed, n_outer=8,
         {kk: v for kk, v in ov_plan.items() if kk != "block"}
         if ov_plan is not None else None
     )
-    X, ritz = _get_cheb_run()(
-        X0, plan["table"], plan["pad_count"], dinv, v0, plan["overflow"],
-        ov_arrays, k=k, degree=degree, n_outer=n_outer, n=n,
-        ov_block=(ov_plan["block"] if ov_plan is not None else 0),
+    ov_block = ov_plan["block"] if ov_plan is not None else 0
+    n_devices = (
+        int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     )
+    if n_devices > 1:
+        # row-shard the SpMV table over the mesh (SURVEY §7.2 M5); the
+        # iteration itself is identical, so the mesh result matches the
+        # single-device runner to fp accumulation order
+        n_loc = (n + n_devices - 1) // n_devices
+        n_pad = n_loc * n_devices
+        table = plan["table"]
+        pad_count = plan["pad_count"]
+        own = jnp.arange(n, dtype=jnp.int32)
+        if n_pad != n:
+            table = jnp.concatenate(
+                [table, jnp.zeros((n_pad - n, table.shape[1]), jnp.int32)]
+            )
+            pad_count = jnp.concatenate(
+                [pad_count, jnp.zeros(n_pad - n, pad_count.dtype)]
+            )
+            own = jnp.concatenate([own, jnp.zeros(n_pad - n, jnp.int32)])
+        runner = _build_cheb_run_sharded(
+            mesh, n, n_loc, k=k, degree=degree, n_outer=n_outer,
+            ov_block=ov_block,
+        )
+        X, ritz = runner(
+            X0, table, pad_count, own, dinv, v0, plan["overflow"],
+            ov_arrays,
+        )
+    else:
+        X, ritz = _get_cheb_run()(
+            X0, plan["table"], plan["pad_count"], dinv, v0,
+            plan["overflow"], ov_arrays, k=k, degree=degree,
+            n_outer=n_outer, n=n, ov_block=ov_block,
+        )
     ritz = np.asarray(ritz)
     if not np.all(np.isfinite(ritz)):
         raise RuntimeError("chebyshev subspace iteration diverged")
@@ -281,7 +381,7 @@ def _spectral_lobpcg(L, n_components, seed):
 
 
 def spectral_init(adjacency, n_components, method="auto", seed=None,
-                  device_threshold=500_000):
+                  device_threshold=500_000, mesh=None):
     """Initial positions from the graph spectrum, (n, n_components) float32.
 
     method in {'auto', 'scipy', 'chebyshev', 'lobpcg', 'random'}. 'auto'
@@ -294,6 +394,11 @@ def spectral_init(adjacency, n_components, method="auto", seed=None,
     quotients ~0.59 after 200 iterations) — kept only as an explicit
     opt-in; 'chebyshev' is the device tier that actually converges
     (filter damps the bulk instead of preconditioning).
+
+    mesh : optional jax.sharding.Mesh. With >1 device, the Chebyshev
+    tier row-shards its SpMV table over the mesh (each device gathers
+    n/ndev rows, one tiled all_gather per matvec) — per-row arithmetic
+    is unchanged, so results match the single-device runner.
     """
     n = adjacency.shape[0]
     rng = np.random.default_rng(seed)
@@ -307,7 +412,7 @@ def spectral_init(adjacency, n_components, method="auto", seed=None,
     if method == "chebyshev":
         try:
             return _spectral_chebyshev(
-                adjacency, n_components, seed
+                adjacency, n_components, seed, mesh=mesh
             ).astype(np.float32)
         except Exception as e:
             logger.warning(

@@ -136,3 +136,78 @@ def test_chebyshev_failure_tiers_down_to_scipy(monkeypatch):
     L = lap._normalized_laplacian(adj)
     Xs = lap._spectral_scipy(L, 2, seed=0)
     assert _subspace_alignment(X, Xs) > 0.999
+
+
+def _assert_match_modulo_signs(Xm, X1, atol):
+    """Per-column sign flips are inherent (eigh sign convention differs
+    between the shard_map and plain-jit lowerings); the reference's own
+    reproducibility tests also compare modulo reflections."""
+    for c in range(X1.shape[1]):
+        d = min(np.abs(Xm[:, c] - X1[:, c]).max(),
+                np.abs(Xm[:, c] + X1[:, c]).max())
+        assert d < atol, f"column {c}: {d}"
+
+
+@pytest.mark.fast
+@pytest.mark.multichip
+@pytest.mark.parametrize("n,ndev", [(2000, 4), (1999, 8)])
+def test_chebyshev_sharded_matches_single_device(n, ndev):
+    """Mesh-sharded Chebyshev (row-sharded SpMV table + tiled all_gather
+    per matvec) vs the single-device runner: per-row arithmetic is
+    unchanged, so the iterates must agree to fp noise modulo column
+    signs — including when n does not divide the mesh (tail-device pad
+    rows)."""
+    import networkx as nx
+
+    from graphem_rapids_tpu.parallel import make_mesh
+
+    G = nx.random_regular_graph(8, n, seed=0)
+    A = sp.csr_matrix(nx.adjacency_matrix(G, dtype=int))
+    k = 3
+    X1 = lap._spectral_chebyshev(A, k, seed=0)
+    Xm = lap._spectral_chebyshev(A, k, seed=0, mesh=make_mesh(ndev))
+    _assert_match_modulo_signs(Xm, X1, atol=1e-4)
+
+
+@pytest.mark.fast
+@pytest.mark.multichip
+def test_chebyshev_sharded_overflow_path():
+    """Skewed-degree graph whose hub rows spill into the overflow plan:
+    the sharded runner applies the same replicated correction, so it
+    must still match the single-device result."""
+    import networkx as nx
+
+    from graphem_rapids_tpu.parallel import make_mesh
+
+    G = nx.star_graph(800)
+    G.add_edges_from((i, (i + 1) % 801) for i in range(1, 800))
+    G.add_edges_from((i, (i + 37) % 801) for i in range(1, 800))
+    A = sp.csr_matrix(nx.adjacency_matrix(G, dtype=int))
+    plan = lap._adjacency_matvec_plan(
+        sp.csr_matrix((A + A.T > 0).astype(np.float32))
+    )
+    assert (plan["ov_plan"] is not None
+            or plan["overflow"].shape[0] > 0), "test wants the overflow"
+    k = 2
+    X1 = lap._spectral_chebyshev(A, k, seed=0)
+    Xm = lap._spectral_chebyshev(A, k, seed=0, mesh=make_mesh(4))
+    _assert_match_modulo_signs(Xm, X1, atol=1e-4)
+
+
+@pytest.mark.fast
+@pytest.mark.multichip
+def test_sharded_embedder_chebyshev_init():
+    """ShardedGraphEmbedder routes init='chebyshev' through its mesh and
+    the resulting spectral start aligns with host eigsh."""
+    from graphem_rapids_tpu.parallel import ShardedGraphEmbedder, make_mesh
+
+    adj = gr.generate_random_regular(n=1000, d=8, seed=0)
+    emb = ShardedGraphEmbedder(
+        adj, n_components=3, mesh=make_mesh(4), seed=0, verbose=False,
+        init="chebyshev", sample_size=64,
+    )
+    pos = np.asarray(emb.positions)
+    assert pos.shape == (1000, 3) and np.isfinite(pos).all()
+    L = lap._normalized_laplacian(adj)
+    Xs = lap._spectral_scipy(L, 3, seed=0)
+    assert _subspace_alignment(pos, Xs) > 0.95
