@@ -512,6 +512,7 @@ def midpoint_refs_binned(positions, pn_list, nbb, overflow_lt=None):
     """
     d = positions.shape[1]
     parts = []
+    off = 0  # running offset into the bucket-major flat ref space
     for g, pn in zip(nbb["buckets"], pn_list):
         rc = min(g["ref_cap"], g["cap"])
         if rc == 0:
@@ -519,22 +520,19 @@ def midpoint_refs_binned(positions, pn_list, nbb, overflow_lt=None):
         pv = jax.lax.slice_in_dim(
             positions, g["start"], g["start"] + g["count"]
         )
-        mid = (pv[:, None, :] + pn[:, :rc]) * 0.5
-        parts.append(mid.reshape(g["count"] * rc, d))
+        valid = jax.lax.slice_in_dim(
+            nbb["ref_valid"], off, off + g["count"] * rc
+        )
+        parts.append(masked_slot_midpoints(pv, pn, rc, valid))
+        off += g["count"] * rc
     if not parts:
         refs = jnp.zeros((0, d), positions.dtype)
     else:
         refs = jnp.concatenate(parts, axis=0)
-    refs = jnp.where(
-        nbb["ref_valid"][:, None],
-        refs,
-        jnp.asarray(REF_PAD_VALUE, positions.dtype),
-    )
     if overflow_lt is not None and overflow_lt.shape[0] > 0:
-        ov_mid = (
-            positions[overflow_lt[:, 0]] + positions[overflow_lt[:, 1]]
-        ) * 0.5
-        refs = jnp.concatenate([refs, ov_mid], axis=0)
+        refs = jnp.concatenate(
+            [refs, overflow_midpoints(positions, overflow_lt)], axis=0
+        )
     return refs
 
 
@@ -677,6 +675,43 @@ def spring_forces_nbtable(positions, nb, k_attr, L_min,
 REF_PAD_VALUE = 1e30
 
 
+def masked_slot_midpoints(pv, pn, rc, valid):
+    """Core of the midpoint reference set, in one place.
+
+    Slot (v, s) holds ``(pv[v] + pn[v, s]) / 2`` over the first ``rc``
+    gather columns, flattened to ``(rows * rc, d)``; slots where
+    ``valid`` is False (pads, j>i duplicates) push to REF_PAD_VALUE.
+    Single definition consumed by midpoint_refs_from_gathered /
+    midpoint_refs_binned below AND the sharded step's per-device tiles
+    (parallel/sharded_step.py) — keeps the slot formula from drifting
+    between the single-chip and sharded builders.
+    """
+    d = pn.shape[2]
+    mid = (pv[:, None, :] + pn[:, :rc]) * 0.5
+    return jnp.where(
+        valid.reshape(-1)[:, None],
+        mid.reshape(-1, d),
+        jnp.asarray(REF_PAD_VALUE, pv.dtype),
+    )
+
+
+def overflow_midpoints(positions, overflow_lt, active=None):
+    """(O2, d) midpoints of the overflow (i<j) edges.
+
+    ``active``: optional traced bool — the sharded tier appends the
+    overflow block once (device 0) and masks it to REF_PAD elsewhere so
+    the merged top-k sees each overflow edge exactly once.
+    """
+    ov_mid = (
+        positions[overflow_lt[:, 0]] + positions[overflow_lt[:, 1]]
+    ) * 0.5
+    if active is not None:
+        ov_mid = jnp.where(
+            active, ov_mid, jnp.asarray(REF_PAD_VALUE, positions.dtype)
+        )
+    return ov_mid
+
+
 def midpoint_refs_from_gathered(positions, pn, nb, overflow_lt=None):
     """Edge-midpoint kNN reference set built from the spring gather.
 
@@ -699,20 +734,12 @@ def midpoint_refs_from_gathered(positions, pn, nb, overflow_lt=None):
 
     Returns (n*ref_cap + O2, d) float refs, aligned with nb['ref_edge'].
     """
-    n = pn.shape[0]
-    d = pn.shape[2]
     cap = min(nb["ref_cap"], pn.shape[1])
-    mid = (positions[:, None, :] + pn[:, :cap]) * 0.5
-    refs = jnp.where(
-        nb["ref_valid"][:, None],
-        mid.reshape(n * cap, d),
-        jnp.asarray(REF_PAD_VALUE, positions.dtype),
-    )
+    refs = masked_slot_midpoints(positions, pn, cap, nb["ref_valid"])
     if overflow_lt is not None and overflow_lt.shape[0] > 0:
-        ov_mid = (
-            positions[overflow_lt[:, 0]] + positions[overflow_lt[:, 1]]
-        ) * 0.5
-        refs = jnp.concatenate([refs, ov_mid], axis=0)
+        refs = jnp.concatenate(
+            [refs, overflow_midpoints(positions, overflow_lt)], axis=0
+        )
     return refs
 
 

@@ -31,9 +31,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.forces import (
-    REF_PAD_VALUE,
     apply_overflow_plan,
     intersection_forces,
+    masked_slot_midpoints,
+    overflow_midpoints,
 )
 from ..ops.knn import squared_distances
 from .mesh import EDGE_AXIS
@@ -450,9 +451,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             # gathers above (same layout as ops/forces.py
             # midpoint_refs_binned, row-sharded); pads/j>i masked to
             # REF_PAD, overflow block on device 0 only.
-            d_ = positions.shape[1]
             mids = []
-            for (seg_off_g, seg_len_g, roff_g), (g, gm) in zip(
+            for _seg, (g, gm) in zip(
                 seg_meta,
                 [(g, gm) for g, gm in enumerate(geoms) if gm["rc"] > 0],
             ):
@@ -460,53 +460,36 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                     ops["bref_valid"][len(mids)], (i * gm["loc"], 0),
                     (gm["loc"], gm["rc"]),
                 )
-                midg = (bpv[g][:, None, :] + bpn[g][:, :gm["rc"]]) * 0.5
-                mids.append(jnp.where(
-                    rvg.reshape(seg_len_g)[:, None],
-                    midg.reshape(seg_len_g, d_),
-                    jnp.asarray(REF_PAD_VALUE, positions.dtype),
+                mids.append(masked_slot_midpoints(
+                    bpv[g], bpn[g], gm["rc"], rvg
                 ))
             mid_loc = jnp.concatenate(mids, axis=0)   # (SL, d)
             if O2:
-                ovlt = ops["overflow_lt"]
-                ov_mid = (
-                    positions[ovlt[:, 0]] + positions[ovlt[:, 1]]
-                ) * 0.5
-                ov_mid = jnp.where(
-                    i == 0, ov_mid,
-                    jnp.asarray(REF_PAD_VALUE, positions.dtype),
-                )
-                mid_loc = jnp.concatenate([mid_loc, ov_mid], axis=0)
+                mid_loc = jnp.concatenate([
+                    mid_loc,
+                    overflow_midpoints(
+                        positions, ops["overflow_lt"], active=(i == 0)
+                    ),
+                ], axis=0)
             R_loc = SL + O2
         elif fused_refs:
             # reference tile = this device's table-slot midpoints, pure
             # VPU math over the spring gather (pn/pv) — no extra HBM rows.
             # Invalid slots (pads, j>i duplicates) push to REF_PAD; the
             # overflow refs appear once (device 0), masked elsewhere.
-            # NOTE: per-device re-statement of ops/forces.py
-            # midpoint_refs_from_gathered (slot formula + REF_PAD masking
-            # + overflow append) — keep the two in lockstep; the
-            # tests/test_sharded.py fused 1-vs-N exactness gates catch
-            # any drift.
+            # Slot formula shared with the single-chip builder via
+            # ops/forces.py masked_slot_midpoints / overflow_midpoints.
             rv_loc = jax.lax.dynamic_slice(
                 ops["ref_valid_pad"], (i * n_loc, 0), (n_loc, ref_cap)
             )
-            mid_loc = (pv[:, None, :] + pn[:, :ref_cap]) * 0.5
-            mid_loc = jnp.where(
-                rv_loc.reshape(SL)[:, None],
-                mid_loc.reshape(SL, positions.shape[1]),
-                jnp.asarray(REF_PAD_VALUE, positions.dtype),
-            )
+            mid_loc = masked_slot_midpoints(pv, pn, ref_cap, rv_loc)
             if O2:
-                ovlt = ops["overflow_lt"]
-                ov_mid = (
-                    positions[ovlt[:, 0]] + positions[ovlt[:, 1]]
-                ) * 0.5
-                ov_mid = jnp.where(
-                    i == 0, ov_mid,
-                    jnp.asarray(REF_PAD_VALUE, positions.dtype),
-                )
-                mid_loc = jnp.concatenate([mid_loc, ov_mid], axis=0)
+                mid_loc = jnp.concatenate([
+                    mid_loc,
+                    overflow_midpoints(
+                        positions, ops["overflow_lt"], active=(i == 0)
+                    ),
+                ], axis=0)
             R_loc = SL + O2
         else:
             mid_loc = (p1 + p2) / 2.0
