@@ -63,7 +63,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                        n_neighbors, sample_size, nb=None,
                        knn_recall_target=0.95, use_approx_local=None,
                        use_binfold_local=None, fused_refs=None,
-                       knn_comm=None, axis_name=EDGE_AXIS):
+                       knn_comm=None, knn_dtype="auto",
+                       _debug_knn=False, axis_name=EDGE_AXIS):
     """Build the jitted multi-chip update step.
 
     Returns (step, multi_step, step_ops) where
@@ -124,11 +125,15 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     # On TPU meshes the local distance tile runs in bf16, mirroring the
     # single-chip approx tier (the (S, E_loc) distance traffic dominates;
     # no measurable layout-quality change — BASELINE.md). CPU meshes (the
-    # virtual test mesh) stay f32, keeping the 1-vs-N allclose gates exact.
-    knn_dtype = (
-        jnp.bfloat16
-        if mesh.devices.flat[0].platform == "tpu" else None
-    )
+    # virtual test mesh) stay f32, keeping the 1-vs-N allclose gates
+    # exact. knn_dtype='auto' applies that policy; pass a dtype (or None
+    # for f32) to force a shape — the bf16 quality gates in
+    # tests/test_sharded.py pin the TPU-mesh program on the CPU mesh.
+    if knn_dtype == "auto":
+        knn_dtype = (
+            jnp.bfloat16
+            if mesh.devices.flat[0].platform == "tpu" else None
+        )
     # approx_min_k local top-k only pays off on real TPU tiles with a
     # meaningful reference count; CPU (test) meshes keep the exact path
     # so the 1-vs-N allclose gates stay exact. use_approx_local=None
@@ -657,6 +662,13 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         if fused_refs:
             knn_idx = ops["ref_edge_pad"][knn_idx]  # ref slots -> edge ids
 
+        if _debug_knn:
+            # quality-gate hook (tests/test_sharded.py): surface the
+            # merged neighbor edge ids + sampled query ids so recall of
+            # the forced bf16/approx TPU-mesh shape can be measured
+            # against exact ground truth
+            return knn_idx, sampled
+
         # ---- intersection repulsion (replicated, O(S*k)) ------------- #
         if knn_idx.shape[1] > 0:
             inter = intersection_forces(
@@ -678,7 +690,7 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         sharded_body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
-        out_specs=P(),
+        out_specs=(P(), P()) if _debug_knn else P(),
         check_vma=False,
     )
 
@@ -697,5 +709,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             return shard_fn(positions, edges_padded, valid, sub, ops), key
 
         return jax.lax.fori_loop(0, num_steps, body, (positions, key))
+
+    if _debug_knn:
+        multi_step = None  # the debug step's output can't feed the loop
 
     return step, multi_step, step_ops

@@ -544,3 +544,120 @@ def test_ring_with_approx_local():
         num_steps=3,
     )
     assert np.isfinite(np.asarray(new_pos)).all()
+
+
+# --------------------------------------------------------------------- #
+# Quality gates for the PRODUCTION TPU-mesh program shape: on TPU meshes
+# the sharded step auto-selects bf16 distances + approx_min_k (or the
+# binfold kernel) for the local top-k (build_sharded_step knn_dtype /
+# use_approx_local policy). These force that exact combination on the
+# CPU mesh and bound its SEMANTICS — neighbor recall vs exact ground
+# truth and trajectory/Spearman drift vs the exact path — not just
+# finiteness.
+# --------------------------------------------------------------------- #
+
+def _lt_edges(adj):
+    rows, cols = adj.nonzero()
+    mask = rows < cols
+    return np.column_stack([rows[mask], cols[mask]]).astype(np.int64)
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("shape_kw", [
+    pytest.param({}, id="unfused"),
+    pytest.param({"fused_refs": True}, id="fused"),
+    pytest.param({"fused_refs": True, "use_binfold_local": True},
+                 id="fused-binfold"),
+    pytest.param({"knn_comm": "ring"}, id="ring"),
+])
+def test_tpu_mesh_shape_knn_recall(shape_kw):
+    """Forced bf16 + approx local top-k (every production variant) must
+    recover the exact k nearest edge midpoints at high recall."""
+    import jax.numpy as jnp
+
+    from graphem_rapids_tpu.ops.forces import build_neighbor_table
+
+    n, k, S = 600, 8, 128
+    adj = gr.generate_random_regular(n=n, d=8, seed=3)
+    edges = _lt_edges(adj)
+    E = len(edges)
+    mesh = make_mesh(4)
+    kw = dict(shape_kw)
+    if kw.get("fused_refs"):
+        kw["nb"] = build_neighbor_table(edges, n)
+    step, _, ops = build_sharded_step(
+        mesh, n, E, n_components=3, k_attr=0.2, L_min=1.0, k_inter=0.5,
+        n_neighbors=k, sample_size=S, use_approx_local=True,
+        knn_dtype=jnp.bfloat16, _debug_knn=True, **kw,
+    )
+    pos = np.random.default_rng(1).standard_normal((n, 3)).astype(
+        np.float32
+    )
+    edges_p, valid = pad_edges(edges, 4)
+    (knn_idx, sampled), _ = step(
+        jnp.asarray(pos), jnp.asarray(edges_p), jnp.asarray(valid),
+        jax.random.PRNGKey(0), ops,
+    )
+    knn_idx, sampled = np.asarray(knn_idx), np.asarray(sampled)
+
+    mids = (pos[edges[:, 0]] + pos[edges[:, 1]]) / 2.0
+    d2 = (
+        (mids[sampled][:, None, :] - mids[None, :, :]) ** 2
+    ).sum(-1)
+    order = np.argsort(d2, axis=1)[:, :k + 2]
+    recalls = [
+        len(set(sel) & set([j for j in row if j != s][:k])) / k
+        for sel, row, s in zip(knn_idx, order, sampled)
+    ]
+    # measured (experiments/probe_bf16_recall.py): mean 0.994+, min 0.875
+    # — bf16 rounding flips only near-ties
+    assert np.mean(recalls) >= 0.97, np.mean(recalls)
+    assert np.min(recalls) >= 0.75, np.min(recalls)
+
+
+@pytest.mark.fast
+def test_tpu_mesh_shape_trajectory_quality():
+    """30 steps of the forced bf16 + approx + fused-refs shape vs the
+    exact path: bounded position drift and Spearman(radius, degree)
+    within noise of exact."""
+    import jax.numpy as jnp
+    from scipy.stats import spearmanr
+
+    from graphem_rapids_tpu.ops.forces import build_neighbor_table
+
+    n, k, S = 600, 8, 128
+    adj = gr.erdos_renyi_graph(n=n, p=0.02, seed=5)
+    edges = _lt_edges(adj)
+    E = len(edges)
+    deg = np.asarray(adj.sum(axis=1)).ravel()
+    mesh = make_mesh(4)
+    nb = build_neighbor_table(edges, n)
+    pos0 = np.random.default_rng(1).standard_normal((n, 3)).astype(
+        np.float32
+    )
+    edges_p, valid = pad_edges(edges, 4)
+
+    def run(kw):
+        _, multi, ops = build_sharded_step(
+            mesh, n, E, n_components=3, k_attr=0.5, L_min=10.0,
+            k_inter=0.1, n_neighbors=k, sample_size=S, **kw,
+        )
+        pos, _ = multi(
+            jnp.asarray(pos0), jnp.asarray(edges_p), jnp.asarray(valid),
+            jax.random.PRNGKey(0), ops, num_steps=30,
+        )
+        pos = np.asarray(pos)
+        radius = np.linalg.norm(pos - pos.mean(0), axis=1)
+        return pos, spearmanr(radius, deg).statistic
+
+    p_exact, rho_exact = run(dict(use_approx_local=False, knn_dtype=None))
+    p_forced, rho_forced = run(dict(
+        use_approx_local=True, knn_dtype=jnp.bfloat16, fused_refs=True,
+        nb=nb,
+    ))
+    assert np.isfinite(p_forced).all()
+    rel = np.linalg.norm(p_forced - p_exact) / np.linalg.norm(p_exact)
+    # measured drift 1e-4 / relpos 0.5% (experiments/probe_bf16_traj.py)
+    assert abs(rho_exact - rho_forced) < 0.02, (rho_exact, rho_forced)
+    assert rho_forced > 0.9, rho_forced
+    assert rel < 0.05, rel
