@@ -130,15 +130,29 @@ class BenchmarkRunner:
             radii = np.linalg.norm(emb.positions, axis=1)
             from scipy import stats
 
-            deg = np.array([d for _, d in G.degree()])
-            rho, _ = stats.spearmanr(radii, deg)
-            rows.append({
+            row = {
                 "dataset": name,
                 "n": adj.shape[0],
                 "m": int(adj.nnz // 2),
                 "layout_time": layout_time,
-                "rho_degree": rho,
-            })
+            }
+            if adj.shape[0] < 5000:
+                # full six-centrality correlation set, matching the
+                # reference's dataset suite depth for n < 5000
+                # (reference run_benchmarks.py:192-368)
+                from graphem_rapids_tpu.benchmark import (
+                    compute_centralities,
+                )
+
+                cents = compute_centralities(G)
+                for c in CENTRALITY_COLUMNS:
+                    rho, _ = stats.spearmanr(radii, cents[c])
+                    row[f"rho_{c}"] = None if np.isnan(rho) else rho
+            else:
+                deg = np.array([d for _, d in G.degree()])
+                rho, _ = stats.spearmanr(radii, deg)
+                row["rho_degree"] = rho
+            rows.append(row)
         self.results["datasets"] = pd.DataFrame(rows)
         return self.results["datasets"]
 
