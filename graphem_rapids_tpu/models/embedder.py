@@ -319,12 +319,26 @@ class GraphEmbedderTPU:
         if adjacency.format != "csr":
             adjacency = adjacency.tocsr()
         n = adjacency.shape[0]
+        nz = adjacency.data != 0
+        if nz.all() and n < 2**31:
+            # threaded C scan of the CSR structure (native/fastgraph.c):
+            # 17 s -> ~1 s at n=10M / nnz=70M vs the numpy formulation
+            from ..native import csr_lt_edges_native
+
+            edges = csr_lt_edges_native(
+                adjacency.indptr, adjacency.indices, n
+            )
+            if edges is not None:
+                if self.verbose and len(edges) == 0:
+                    self.logger.warning(
+                        "No edges found in adjacency matrix"
+                    )
+                return edges
         rows = np.repeat(
             np.arange(n, dtype=np.int64), np.diff(adjacency.indptr)
         )
         cols = adjacency.indices
         mask = rows < cols
-        nz = adjacency.data != 0
         if not nz.all():
             mask &= nz
         edges = np.column_stack([rows[mask], cols[mask]]).astype(np.int64)

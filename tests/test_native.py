@@ -80,3 +80,57 @@ def test_matches_fallback_on_random_input(tmp_path):
                         return_value=None):
             fallback = ds._parse_edge_text(f)
     np.testing.assert_array_equal(native, fallback)
+
+
+@pytest.mark.fast
+@needs_native
+def test_csr_lt_edges_matches_numpy():
+    """Threaded C upper-triangle extraction == the numpy formulation,
+    over random graphs with empty rows and both CSR index dtypes."""
+    import scipy.sparse as sp
+
+    from graphem_rapids_tpu.native import csr_lt_edges_native
+
+    rng = np.random.default_rng(0)
+    for n, ne in [(50, 100), (1000, 5000), (7, 0), (3, 2)]:
+        e = rng.integers(0, n, (ne, 2))
+        e = e[e[:, 0] != e[:, 1]]
+        a = sp.coo_matrix(
+            (np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(n, n)
+        ).tocsr()
+        a = ((a + a.T) > 0).astype(np.float32).tocsr()
+        rows = np.repeat(np.arange(n), np.diff(a.indptr))
+        cols = a.indices
+        ref = np.column_stack([rows[rows < cols], cols[rows < cols]])
+        got = csr_lt_edges_native(a.indptr, a.indices, n)
+        assert np.array_equal(got, ref.reshape(-1, 2)), (n, ne)
+        a64 = sp.csr_matrix(
+            (a.data, a.indices.astype(np.int64),
+             a.indptr.astype(np.int64)),
+            shape=a.shape,
+        )
+        got64 = csr_lt_edges_native(a64.indptr, a64.indices, n)
+        assert np.array_equal(got64, ref.reshape(-1, 2))
+
+
+@pytest.mark.fast
+@needs_native
+def test_embedder_uses_native_extraction():
+    """The embedder's edge extraction routes through the C scanner and
+    produces the same edge set as the numpy fallback (explicit zeros
+    force the fallback)."""
+    import scipy.sparse as sp
+
+    import graphem_rapids_tpu as gr
+
+    adj = gr.erdos_renyi_graph(n=200, p=0.05, seed=0)
+    emb = gr.GraphEmbedderTPU(adj, n_components=2, seed=0, verbose=False)
+    assert emb._edges_np.dtype == np.int32  # C path taken
+    # an explicit zero on an upper-triangle entry forces the numpy
+    # fallback, which must drop exactly that edge
+    az = adj.tocsr().copy().astype(np.float32)
+    rows = np.repeat(np.arange(az.shape[0]), np.diff(az.indptr))
+    upper = np.flatnonzero(rows < az.indices)
+    az.data[upper[0]] = 0.0
+    emb_z = gr.GraphEmbedderTPU(az, n_components=2, seed=0, verbose=False)
+    assert emb_z.n_edges == emb.n_edges - 1
