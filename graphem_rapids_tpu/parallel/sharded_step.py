@@ -103,7 +103,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         the padded slot count stays <= 4E (same bound as single-chip);
         CPU (test) meshes keep the unfused exact path so the 1-vs-N
         allclose gates stay tie-for-tie comparable.
-    knn_comm : None | 'all_gather' | 'ring'. How per-device kNN candidates
+    knn_comm : None | 'all_gather' | 'ring' | 'ring_pallas'. How
+        per-device kNN candidates
         are merged into the global neighbor set. 'all_gather' (default)
         gathers every device's top-kk candidates and re-merges; 'ring'
         rotates query shards + running top-k carries around the mesh via
@@ -111,11 +112,16 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         S*(d + 3k)/ndev elements ride the wire per hop instead of two
         (ndev, S, kk) gathers at the end. Results match all_gather exactly
         on tie-free distances (ties: lexicographic-by-ref-index instead of
-        device order).
+        device order). 'ring_pallas' is the RDMA kernel variant
+        (parallel/ring_binfold.py): per-bin minima carries rotated via
+        pltpu.make_async_remote_copy with the transport fully overlapped
+        behind each hop's distance fold — approximate with the binfold
+        recall model over the global reference set (quality-gated in
+        tests/test_sharded.py).
     """
     if knn_comm is None:
         knn_comm = "all_gather"
-    if knn_comm not in ("all_gather", "ring"):
+    if knn_comm not in ("all_gather", "ring", "ring_pallas"):
         raise ValueError(f"Unknown knn_comm: {knn_comm!r}")
     n_devices = int(np.prod(list(mesh.shape.values())))
     E_pad_total = ((E + n_devices - 1) // n_devices) * n_devices
@@ -589,7 +595,23 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         # the merged candidate pool can be narrower than k+1 on tiny
         # shards (n_devices * kk columns); clamp like the single-chip tier
         k_merge = min(k + 1, n_devices * kk)
-        if knn_comm == "ring":
+        if knn_comm == "ring_pallas":
+            # ---- Pallas RDMA bin ring (parallel/ring_binfold.py) ------ #
+            # carry = per-bin minima rotated via make_async_remote_copy,
+            # the carry RDMA fully overlapped with the next hop's
+            # distance fold; bins sized by the binfold recall model over
+            # the GLOBAL reference set. Skips tile_topk entirely (the
+            # fold IS the local selection).
+            from .ring_binfold import ring_binfold_topk
+
+            _, idx_g, R_pad_ring = ring_binfold_topk(
+                q_mid, mid_loc, k_merge, ndev=n_devices,
+                axis_name=axis_name, recall_target=recall_target,
+            )
+            ring_dev = idx_g // R_pad_ring
+            ring_p = jnp.minimum(idx_g % R_pad_ring, R_loc - 1)
+            knn_idx = to_global(ring_p, ring_dev)[:, 1:]
+        elif knn_comm == "ring":
             # ---- ring merge: rotate query shards + running carry ------ #
             # The ring-attention analog (SURVEY §2.4/§5.8), with the roles
             # chosen for the wire: reference tiles are the LARGE operand
