@@ -142,6 +142,54 @@ def main():
         ax.legend()
         ax.set_title("Layout throughput by kNN strategy")
         fig.savefig(out / "scalability.png", dpi=120, bbox_inches="tight")
+        plt.close(fig)
+
+        # per-strategy layout-time bars per graph (reference
+        # compare_backends.py:175-197, seaborn barplot -> plain mpl)
+        graphs = list(df["graph"].unique())
+        strategies = list(df["strategy"].unique())
+        fig, ax = plt.subplots(figsize=(12, 5))
+        width = 0.8 / max(len(strategies), 1)
+        x = np.arange(len(graphs))
+        for j, strategy in enumerate(strategies):
+            g = df[df["strategy"] == strategy].set_index("graph")
+            y = [g["layout_time"].get(name, np.nan) for name in graphs]
+            ax.bar(x + j * width, y, width, label=strategy)
+        ax.set_yscale("log")
+        ax.set_xticks(x + 0.4 - width / 2)
+        ax.set_xticklabels(graphs, rotation=45, ha="right")
+        ax.set_ylabel("layout time (s, log)")
+        ax.set_title("Layout time by graph and kNN strategy")
+        ax.legend()
+        fig.savefig(out / "layout_time_bars.png", dpi=120,
+                    bbox_inches="tight")
+        plt.close(fig)
+
+        # speedup heatmap (reference compare_backends.py:224-237,
+        # seaborn heatmap -> plain mpl imshow with annotations)
+        if "chunked" in set(df["strategy"]):
+            hm = df.pivot_table(index="graph", columns="strategy",
+                                values="speedup_vs_chunked")
+            fig, ax = plt.subplots(
+                figsize=(1.6 * len(hm.columns) + 3, 0.5 * len(hm) + 2)
+            )
+            im = ax.imshow(hm.values, cmap="RdYlBu", aspect="auto",
+                           vmin=0.0)
+            ax.set_xticks(range(len(hm.columns)))
+            ax.set_xticklabels(hm.columns)
+            ax.set_yticks(range(len(hm.index)))
+            ax.set_yticklabels(hm.index)
+            for r in range(hm.shape[0]):
+                for c in range(hm.shape[1]):
+                    v = hm.values[r, c]
+                    if np.isfinite(v):
+                        ax.text(c, r, f"{v:.2f}", ha="center",
+                                va="center", fontsize=8)
+            fig.colorbar(im, ax=ax, label="speedup vs chunked")
+            ax.set_title("kNN strategy speedup heatmap")
+            fig.savefig(out / "speedup_heatmap.png", dpi=120,
+                        bbox_inches="tight")
+            plt.close(fig)
     except ImportError:
         pass
 

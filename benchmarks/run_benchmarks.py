@@ -237,6 +237,11 @@ def main():
                              "(needs local cache or network)")
     parser.add_argument("--profile", action="store_true",
                         help="cProfile the run, dump top-20 cumulative")
+    parser.add_argument("--line-profile", action="store_true",
+                        help="line-by-line profile of the hot engine "
+                             "methods (line_profiler; falls back to a "
+                             "per-function tottime breakdown of the "
+                             "package when line_profiler is absent)")
     parser.add_argument("--jax-profile", default=None, metavar="DIR",
                         help="write a jax.profiler trace (Perfetto/XProf) "
                              "to DIR")
@@ -267,7 +272,35 @@ def main():
         with jax.profiler.trace(args.jax_profile):
             run()
         print(f"jax trace written to {args.jax_profile}")
-    elif args.profile:
+    elif args.line_profile:
+        # reference run_benchmarks.py:1031-1045 (LineProfiler over the
+        # engine's hot methods); optional here with a per-function
+        # host-time fallback — on TPU the device work is opaque to any
+        # line profiler anyway, --jax-profile is the device-side view
+        try:
+            from line_profiler import LineProfiler
+
+            prof = LineProfiler()
+            prof.add_function(
+                gr.GraphEmbedderTPU.run_layout.__wrapped__
+                if hasattr(gr.GraphEmbedderTPU.run_layout, "__wrapped__")
+                else gr.GraphEmbedderTPU.run_layout
+            )
+            prof.add_function(BenchmarkRunner.run_generator_benchmarks)
+            prof.runctx("run()", globals(), {"run": run})
+            prof.print_stats()
+        except ImportError:
+            print("line_profiler not installed; per-function host-time "
+                  "breakdown of graphem_rapids_tpu instead:")
+            prof = cProfile.Profile()
+            prof.enable()
+            run()
+            prof.disable()
+            s = io.StringIO()
+            pstats.Stats(prof, stream=s).sort_stats("tottime").print_stats(
+                "graphem_rapids_tpu", 25
+            )
+            print(s.getvalue())
         prof = cProfile.Profile()
         prof.enable()
         run()

@@ -49,8 +49,31 @@ def download_file(url, filepath, description=None):
     logger.info("Downloading %s -> %s (%s)", url, filepath, description or "")
     response = requests.get(url, stream=True, timeout=60)
     response.raise_for_status()
+    # progress reporting (reference datasets.py:71-80 uses tqdm; tqdm is
+    # optional here, with a plain stderr percentage fallback so large
+    # SNAP pulls are never silent)
+    total = int(response.headers.get("content-length", 0) or 0)
+    try:
+        from tqdm import tqdm
+
+        bar = tqdm(desc=description or "Downloading", total=total or None,
+                   unit="B", unit_scale=True, unit_divisor=1024)
+    except ImportError:
+        bar = None
+    done = 0
+    next_pct = 10
     with open(filepath, "wb") as f:
-        shutil.copyfileobj(response.raw, f)
+        for chunk in response.iter_content(chunk_size=1 << 20):
+            f.write(chunk)
+            done += len(chunk)
+            if bar is not None:
+                bar.update(len(chunk))
+            elif total and done * 100 >= next_pct * total:
+                logger.info("  %s: %d%% (%.1f MB)", description or "download",
+                            next_pct, done / 1e6)
+                next_pct += 10
+    if bar is not None:
+        bar.close()
 
 
 def extract_file(filepath, extract_dir=None):
