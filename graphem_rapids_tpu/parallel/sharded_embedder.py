@@ -80,7 +80,7 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
             self._positions = rep(self._positions)
             self._key = rep(self._key)
 
-        step, multi_step, sharded_ops = build_sharded_step(
+        step, multi_step, sharded_ops, raw_step = build_sharded_step(
             self.mesh,
             self.n,
             self.n_edges,
@@ -95,6 +95,7 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
             fused_refs=self.fused_midpoints,
             knn_comm=self.knn_comm,
             use_binfold_local=self.use_binfold_local,
+            return_raw=True,
         )
         if self._multiprocess:
             import jax
@@ -119,9 +120,18 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
             )
 
         self._multi_step = bound_multi
-        # Parity hook: single-chip raw step on the same math (used by tests
-        # for 1-chip vs N-chip equivalence).
-        self._raw_step = None
+
+        # Parity hook (same contract as the single-chip _raw_step): run
+        # one step with an INJECTED (S,) sample — lets the oracle-parity
+        # harness drive the sharded step layer-by-layer. The inherited
+        # update_positions translates user edge ids through _edge_map
+        # before calling this.
+        def bound_raw(positions, sampled, ops):
+            return raw_step(
+                positions, self._edges_padded, self._valid, sampled, ops
+            )
+
+        self._raw_step = bound_raw
         return bound_step
 
     def _place_state(self, value, dtype):
@@ -136,13 +146,19 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
         return super()._place_state(value, dtype)
 
     def update_positions(self, sample_indices=None):
+        if sample_indices is not None:
+            if self._multiprocess:
+                # injected host samples would need global-array placement
+                # on every participating process first
+                raise NotImplementedError(
+                    "sample injection on a multi-process mesh is not "
+                    "supported; run the parity harness single-process"
+                )
+            # the inherited path routes through self._raw_step with the
+            # _edge_map user->internal translation
+            return super().update_positions(sample_indices=sample_indices)
         if self.n_edges == 0:
             return
-        if sample_indices is not None:
-            raise NotImplementedError(
-                "sample injection is a single-chip parity hook; use "
-                "GraphEmbedderTPU for layer-by-layer parity runs"
-            )
         self._positions, self._key = self._step(
             self._positions, self._key, self._step_ops
         )

@@ -64,7 +64,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                        knn_recall_target=0.95, use_approx_local=None,
                        use_binfold_local=None, fused_refs=None,
                        knn_comm=None, knn_dtype="auto",
-                       _debug_knn=False, axis_name=EDGE_AXIS):
+                       _debug_knn=False, return_raw=False,
+                       axis_name=EDGE_AXIS):
     """Build the jitted multi-chip update step.
 
     Returns (step, multi_step, step_ops) where
@@ -342,7 +343,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     else:
         fused_refs = False
 
-    def sharded_body(positions, edges_full, valid_full, key, ops):
+    def sharded_body(positions, edges_full, valid_full, key, ops,
+                     inject_sample=False):
         i = jax.lax.axis_index(axis_name)
 
         # ---- local edge shard --------------------------------------- #
@@ -452,7 +454,10 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         # ---- sampled query midpoints (identical on all devices) ------ #
         from ..ops.sampling import sample_indices
 
-        sampled = sample_indices(key, E, S)
+        # inject_sample: `key` carries a replicated (S,) int32 sample
+        # instead of a PRNG key — the layer-by-layer parity hook (the
+        # sharded analog of the single-chip engine's _raw_step)
+        sampled = key if inject_sample else sample_indices(key, E, S)
         q_edges = edges_full[sampled]
         q_mid = (positions[q_edges[:, 0]] + positions[q_edges[:, 1]]) / 2.0
 
@@ -735,4 +740,23 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     if _debug_knn:
         multi_step = None  # the debug step's output can't feed the loop
 
+    if return_raw:
+        # sample-injection variant: (S,) int32 replicated sample rides
+        # in the key slot (the parity hook the single-chip engine
+        # exposes as _raw_step)
+        shard_fn_inject = jax.shard_map(
+            partial(sharded_body, inject_sample=True),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(), P()) if _debug_knn else P(),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def raw_step(positions, edges_padded, valid, sampled, ops):
+            return shard_fn_inject(
+                positions, edges_padded, valid, sampled, ops
+            )
+
+        return step, multi_step, step_ops, raw_step
     return step, multi_step, step_ops

@@ -56,9 +56,12 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
 
 @pytest.mark.fast
 @pytest.mark.multichip
-def test_sharded_sample_injection_raises():
+def test_sharded_sample_injection_works():
+    """Sample injection (the layer-by-layer parity hook) is supported on
+    single-process meshes — tests/test_oracle_parity.py drives the full
+    oracle gate through it; here just the plumbing contract."""
     adj = gr.erdos_renyi_graph(60, 0.1, seed=0)
     emb = ShardedGraphEmbedder(adj, mesh=make_mesh(2), seed=0,
                                verbose=False, sample_size=16)
-    with pytest.raises(NotImplementedError):
-        emb.update_positions(sample_indices=np.arange(16))
+    emb.update_positions(sample_indices=np.arange(16))
+    assert np.isfinite(np.asarray(emb.positions)).all()

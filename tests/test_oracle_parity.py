@@ -363,3 +363,69 @@ def test_knn_over_fused_refs_matches_direct():
         row = np.sort(d2[r])
         if len(np.unique(np.round(row[:9], 10))) == 9:  # no ties in top-9
             assert set(fused_eids[r]) == set(np.asarray(direct_idx)[r])
+
+
+@pytest.mark.fast
+@pytest.mark.multichip
+def test_sharded_full_step_oracle_parity():
+    """The SHARDED step driven layer-by-layer with injected samples
+    (ShardedGraphEmbedder._raw_step via update_positions) matches the
+    numpy oracle — the same gate the single-chip engine passes, now on
+    the 4-device mesh."""
+    from graphem_rapids_tpu.parallel import ShardedGraphEmbedder, make_mesh
+
+    adj = gr.erdos_renyi_graph(300, 0.03, seed=0)
+    emb = ShardedGraphEmbedder(
+        adj, n_components=3, mesh=make_mesh(4), seed=7, verbose=False,
+        sample_size=128, **PARAMS,
+    )
+    edges = emb._edges_np
+    positions = emb.positions.copy()
+
+    rng = np.random.default_rng(3)
+    sampled = rng.permutation(len(edges))[:128]
+
+    expected = oracle.update_step_np(
+        positions.astype(np.float64), edges, sampled, **PARAMS
+    )
+    emb.update_positions(sample_indices=sampled)
+    np.testing.assert_allclose(emb.positions, expected, rtol=1e-3,
+                               atol=1e-4)
+
+
+@pytest.mark.fast
+@pytest.mark.multichip
+def test_sharded_multi_step_oracle_parity_binned():
+    """Five injected-sample steps of the BINNED sharded tier vs the
+    oracle: the user->internal edge_map translation and the
+    bucket-row-sharded gathers must preserve reference semantics."""
+    from graphem_rapids_tpu.parallel import ShardedGraphEmbedder, make_mesh
+    import scipy.sparse as sp
+
+    # skewed degrees so the binned plan has >1 bucket
+    rng0 = np.random.default_rng(0)
+    star = np.column_stack([np.zeros(60, np.int64),
+                            np.arange(1, 61, dtype=np.int64)])
+    rand = rng0.integers(0, 200, (300, 2)).astype(np.int64)
+    rand = rand[rand[:, 0] != rand[:, 1]]
+    e = np.concatenate([star, rand])
+    adj = sp.coo_matrix(
+        (np.ones(len(e), np.float32), (e[:, 0], e[:, 1])), shape=(200, 200)
+    )
+    adj = ((adj + adj.T) > 0).astype(np.float32).tocsr()
+
+    emb = ShardedGraphEmbedder(
+        adj, n_components=2, mesh=make_mesh(4), seed=7, verbose=False,
+        sample_size=64, binned_table=True, **PARAMS,
+    )
+    edges = emb._edges_np
+    expected = emb.positions.astype(np.float64)
+
+    rng = np.random.default_rng(5)
+    for _ in range(3):
+        sampled = rng.permutation(len(edges))[:64]
+        expected = oracle.update_step_np(expected, edges, sampled, **PARAMS)
+        emb.update_positions(sample_indices=sampled)
+
+    np.testing.assert_allclose(emb.positions, expected, rtol=5e-3,
+                               atol=5e-4)
