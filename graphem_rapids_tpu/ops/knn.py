@@ -201,6 +201,13 @@ def knn(queries, refs, k, strategy="auto", chunk_size=DEFAULT_CHUNK,
 
         # NOTE: Mosaic compile failures surface at jit-compile time of the
         # caller, after tracing — a try/except here cannot tier down. The
-        # 'pallas' strategy is opt-in; 'auto' never selects it.
+        # 'pallas' strategy is opt-in; 'auto' never selects it:
+        # hardware-measured as a fallback-only artifact (it ties the
+        # blockwise scan at every size — 34.75 vs 33.66 ms at E=100K,
+        # 101.4 vs 95.9 ms at E=1.6M incl. ~27 ms tunnel dispatch floor —
+        # while binfold wins both by 5-70 ms;
+        # experiments/ab_knn_exact_tiers.py). Kept as the exact-kNN
+        # escape hatch for toolchains where lax.top_k or approx_min_k
+        # regress.
         return knn_pallas(queries, refs, k)
     raise ValueError(f"Unknown kNN strategy: {strategy!r}")
