@@ -210,14 +210,16 @@ def _geometry(E_loc, S, ndev, k, recall_target):
     if ndev * R_pad > REF_LIMIT:
         raise ValueError(
             f"ring_binfold index lanes: ndev*R_pad = {ndev * R_pad} "
-            f"exceeds {REF_LIMIT}"
+            f"exceeds {REF_LIMIT}; use knn_comm='ring' (the lax.ppermute "
+            f"ring has no index-lane bound)"
         )
     # resident VMEM: carry (2 slots x 2 planes) + bins (2 planes)
     resident = 6 * S_loc * G * 128 * 4
     if resident > _VMEM_BUDGET:
         raise ValueError(
             f"ring_binfold carry does not fit VMEM: {resident} bytes "
-            f"(S_loc={S_loc}, G={G})"
+            f"(S_loc={S_loc}, G={G}); shrink sample_size or use "
+            f"knn_comm='ring'"
         )
     return T, G, n_super, R_pad, S_pad, S_loc
 

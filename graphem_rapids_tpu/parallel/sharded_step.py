@@ -104,8 +104,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         the padded slot count stays <= 4E (same bound as single-chip);
         CPU (test) meshes keep the unfused exact path so the 1-vs-N
         allclose gates stay tie-for-tie comparable.
-    knn_comm : None | 'all_gather' | 'ring' | 'ring_pallas'. How
-        per-device kNN candidates
+    knn_comm : None | 'all_gather' | 'all_to_all' | 'ring' |
+        'ring_pallas'. How per-device kNN candidates
         are merged into the global neighbor set. 'all_gather' (default)
         gathers every device's top-kk candidates and re-merges; 'ring'
         rotates query shards + running top-k carries around the mesh via
@@ -113,7 +113,11 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         S*(d + 3k)/ndev elements ride the wire per hop instead of two
         (ndev, S, kk) gathers at the end. Results match all_gather exactly
         on tie-free distances (ties: lexicographic-by-ref-index instead of
-        device order). 'ring_pallas' is the RDMA kernel variant
+        device order). 'all_to_all' transposes candidate blocks
+        device<->query-shard so each device merges only its S/ndev
+        queries — (ndev-1)/ndev * S*kk on the wire instead of
+        (ndev-1) * S*kk received, bitwise-equal results.
+        'ring_pallas' is the RDMA kernel variant
         (parallel/ring_binfold.py): per-bin minima carries rotated via
         pltpu.make_async_remote_copy with the transport fully overlapped
         behind each hop's distance fold — approximate with the binfold
@@ -122,7 +126,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     """
     if knn_comm is None:
         knn_comm = "all_gather"
-    if knn_comm not in ("all_gather", "ring", "ring_pallas"):
+    if knn_comm not in ("all_gather", "all_to_all", "ring",
+                        "ring_pallas"):
         raise ValueError(f"Unknown knn_comm: {knn_comm!r}")
     n_devices = int(np.prod(list(mesh.shape.values())))
     E_pad_total = ((E + n_devices - 1) // n_devices) * n_devices
@@ -676,6 +681,47 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                 idx_home[:, 1:], axis_name
             )  # (ndev, S_loc, k_merge-1)
             knn_idx = idx_all.reshape(S_pad, k_merge - 1)[:S]
+        elif knn_comm == "all_to_all":
+            # ---- query-sharded exact merge via lax.all_to_all --------- #
+            # Each device still computes its tile's candidates for ALL S
+            # queries, but instead of every device gathering EVERY
+            # candidate block ((ndev-1)*S*kk received per device) and
+            # merging replicated, the blocks are transposed device<->
+            # query-shard: device j receives only the candidates for ITS
+            # S/ndev queries ((ndev-1)/ndev * S*kk on the wire), merges
+            # them, and one small (S_loc, k_merge) all_gather replicates
+            # the result. Candidate order per query is (device, rank) —
+            # identical to the all_gather merge, so results are bitwise
+            # equal.
+            vals_loc, idx_loc = tile_topk(q_mid)
+            idx_glob = to_global(idx_loc, i)
+            S_loc = -(-S // n_devices)
+            S_pad = S_loc * n_devices
+            if S_pad != S:
+                pad = jnp.full((S_pad - S, kk), jnp.inf, vals_loc.dtype)
+                vals_loc = jnp.concatenate([vals_loc, pad])
+                idx_glob = jnp.concatenate([
+                    idx_glob,
+                    jnp.zeros((S_pad - S, kk), idx_glob.dtype),
+                ])
+            vals_x = jax.lax.all_to_all(
+                vals_loc.reshape(n_devices, S_loc, kk), axis_name,
+                split_axis=0, concat_axis=0,
+            )  # (ndev=source device, S_loc, kk) for THIS query shard
+            idx_x = jax.lax.all_to_all(
+                idx_glob.reshape(n_devices, S_loc, kk), axis_name,
+                split_axis=0, concat_axis=0,
+            )
+            vals_m = jnp.moveaxis(vals_x, 0, 1).reshape(
+                S_loc, n_devices * kk
+            )
+            idx_m = jnp.moveaxis(idx_x, 0, 1).reshape(
+                S_loc, n_devices * kk
+            )
+            neg2, pos2 = jax.lax.top_k(-vals_m, k_merge)
+            knn_loc = jnp.take_along_axis(idx_m, pos2, axis=1)[:, 1:]
+            knn_all = jax.lax.all_gather(knn_loc, axis_name)
+            knn_idx = knn_all.reshape(S_pad, k_merge - 1)[:S]
         else:
             # ---- default merge: local top-kk, all_gather, exact merge - #
             vals_loc, idx_loc = tile_topk(q_mid)

@@ -661,3 +661,45 @@ def test_tpu_mesh_shape_trajectory_quality():
     assert abs(rho_exact - rho_forced) < 0.02, (rho_exact, rho_forced)
     assert rho_forced > 0.9, rho_forced
     assert rel < 0.05, rel
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("n_devices", [4, 8])
+def test_all_to_all_merge_matches_all_gather(n_devices):
+    """knn_comm='all_to_all' (query-sharded merge) must be BITWISE equal
+    to the all_gather merge: same candidate pool per query in the same
+    (device, rank) order, exact top-k either way — including when S does
+    not divide the mesh (query pad rows)."""
+    adj = gr.erdos_renyi_graph(300, 0.04, seed=2)
+    base = ShardedGraphEmbedder(
+        adj, n_components=3, mesh=make_mesh(n_devices), seed=5,
+        verbose=False, sample_size=100, n_neighbors=6,
+    )
+    a2a = ShardedGraphEmbedder(
+        adj, n_components=3, mesh=make_mesh(n_devices), seed=5,
+        verbose=False, sample_size=100, n_neighbors=6,
+        knn_comm="all_to_all",
+    )
+    for _ in range(3):
+        base.update_positions()
+        a2a.update_positions()
+    np.testing.assert_array_equal(a2a.positions, base.positions)
+
+
+@pytest.mark.fast
+def test_all_to_all_merge_fused_refs():
+    """all_to_all merge composed with fused slot-midpoint refs."""
+    adj = gr.generate_random_regular(n=120, d=6, seed=2)
+    base = ShardedGraphEmbedder(
+        adj, n_components=3, mesh=make_mesh(4), seed=5, verbose=False,
+        sample_size=32, n_neighbors=5, fused_midpoints=True,
+    )
+    a2a = ShardedGraphEmbedder(
+        adj, n_components=3, mesh=make_mesh(4), seed=5, verbose=False,
+        sample_size=32, n_neighbors=5, fused_midpoints=True,
+        knn_comm="all_to_all",
+    )
+    for _ in range(3):
+        base.update_positions()
+        a2a.update_positions()
+    np.testing.assert_array_equal(a2a.positions, base.positions)
