@@ -56,8 +56,11 @@ _BIG = 3.0e38
 MAX_REFS = 1 << 24
 # Beyond MAX_REFS the wrapper splits the reference set into equal
 # segments (one kernel launch each, unrolled under one jit) and merges
-# the per-segment top-k exactly; 8 segments bounds the unroll.
-MAX_SEGMENTS = 8
+# the per-segment top-k exactly; 16 segments bounds the unroll (raised
+# from 8 for the 30M-vertex tier, whose fused ref-slot space is ~140M —
+# falling off the fused path there compiles a pathologically padded
+# unfused program, experiments/bench_30m.py round-2 notes).
+MAX_SEGMENTS = 16
 MAX_REFS_SEGMENTED = MAX_REFS * MAX_SEGMENTS
 # Auto-selection gates (models/embedder.py _resolved_strategy): the
 # unrolled per-coordinate loop wants small dims, and bin recall falls
@@ -212,12 +215,27 @@ def _binfold_segments(queries, refs, k, T, G, S_out, seg, n_seg, interpret):
     share one compiled shape (equal segments, unrolled under this jit).
     """
     E, dim = refs.shape
-    refs_p = jnp.full((n_seg * seg, dim), _PAD_COORD, jnp.float32).at[
-        :E
-    ].set(refs.astype(jnp.float32))
+    # No full-size pad here: each segment is a static slice of the raw
+    # refs and _binfold_padded pads its own input to supertile multiples
+    # (the short tail segment simply compiles a second kernel shape).
+    # The earlier full (n_seg*seg, d) pad materialized a second copy of
+    # the whole reference set, and at the 30M tier the added HBM
+    # pressure tipped XLA into its compress/uncompress rematerialization
+    # of the loop-invariant tables — whose "uncompressed" lane-padded
+    # layouts were 16-42x the data (compile OOM at 35 GB,
+    # experiments/bench_30m.py round-2 logs).
+    refs = refs.astype(jnp.float32)
+    # Pin the refs in their flat (slots, d) layout before the per-segment
+    # transposes: without the barrier XLA propagates the (d, seg) layout
+    # preference backwards into the (count, cap, d) slot-midpoint
+    # producers and materializes per-bucket (d, count, cap) transposes
+    # whose lane padding (cap -> 128) is ~16x — 5.3 GB per bucket at the
+    # 30M tier (experiments/bench_30m.py round-2 OOM dumps).
+    refs = jax.lax.optimization_barrier(refs)
     vals_all, idx_all = [], []
     for s in range(n_seg):
-        r = jax.lax.slice_in_dim(refs_p, s * seg, (s + 1) * seg)
+        hi = min((s + 1) * seg, E)
+        r = jax.lax.slice_in_dim(refs, s * seg, hi)
         idx_s, vals_s = _binfold_padded(queries, r, k, T, G, S_out,
                                         interpret)
         idx_all.append(idx_s + jnp.int32(s * seg))
