@@ -301,6 +301,8 @@ def main():
                 "graphem_rapids_tpu", 25
             )
             print(s.getvalue())
+    elif args.profile:
+        # reference run_benchmarks.py:1018-1029 (cProfile + pstats top-20)
         prof = cProfile.Profile()
         prof.enable()
         run()

@@ -145,7 +145,19 @@ def create_graphem(adjacency, n_components=2, backend=None, mesh=None,
             "(see docs/PARITY.md)", idx,
         )
     n_vertices = adjacency.shape[0]
-    config = get_default_config(n_vertices, n_components)
+    # Edge count from the adjacency's nnz (O(1) on sparse formats):
+    # undirected i<j edges ~ nnz/2 on a symmetric matrix. The factory
+    # tiers on it like the engine's _resolved_strategy does — dense-ish
+    # graphs (1M edges on 50K vertices) tier by E, not n.
+    try:
+        nnz = adjacency.nnz  # scipy sparse
+    except AttributeError:
+        import numpy as _np
+
+        nnz = int(_np.count_nonzero(_np.asarray(adjacency)))
+    config = get_default_config(
+        n_vertices, n_components, n_edges=max(nnz // 2, 1)
+    )
     if backend is not None:
         config.force_backend = backend
         config.__post_init__()

@@ -315,6 +315,10 @@ class GraphEmbedderTPU:
         Reads the CSR structure directly instead of ``adjacency.nonzero()``
         (which round-trips through COO): ~4x less host time at the
         10M-vertex tier. Explicit zeros are excluded, matching nonzero().
+
+        Always returns int32 (the engine's device index dtype, see the
+        jnp.int32 casts in __init__) so callers see one dtype whether or
+        not the C extension is built.
         """
         if adjacency.format != "csr":
             adjacency = adjacency.tocsr()
@@ -341,7 +345,7 @@ class GraphEmbedderTPU:
         mask = rows < cols
         if not nz.all():
             mask &= nz
-        edges = np.column_stack([rows[mask], cols[mask]]).astype(np.int64)
+        edges = np.column_stack([rows[mask], cols[mask]]).astype(np.int32)
         if self.verbose and len(edges) == 0:
             self.logger.warning("No edges found in adjacency matrix")
         return edges

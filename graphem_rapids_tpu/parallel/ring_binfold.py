@@ -193,8 +193,11 @@ def _ensure_pallas():
 
 
 def _geometry(E_loc, S, ndev, k, recall_target):
-    """Static kernel geometry; raises ValueError when unsupported
-    (caller tiers down to the lax ring)."""
+    """Static kernel geometry; raises ValueError when unsupported.
+
+    build_sharded_step probes this via ring_supported() at build time
+    and tiers down to knn_comm='ring'; direct ring_binfold_topk callers
+    see the ValueError at trace time."""
     T, G = params_for(k, recall_target)
     n_tiles = -(-max(E_loc, 1) // T)
     G = min(G, n_tiles)

@@ -348,6 +348,28 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     else:
         fused_refs = False
 
+    if knn_comm == "ring_pallas":
+        # Build-time geometry probe: ring_binfold's _geometry raises on
+        # carry-VMEM / fp32-index-lane overflow. Probe it here with the
+        # resolved per-device ref-tile row count and tier down to the lax
+        # ring (bit-exact vs all_gather) instead of surfacing the
+        # ValueError at trace time — the tiered-fallback pattern the
+        # engine uses everywhere else (SURVEY §5.3).
+        from .ring_binfold import ring_supported
+
+        R_probe = (SL + O2) if fused_refs else E_loc
+        k_merge_probe = min(k + 1, n_devices * min(k + 1, max(R_probe, 1)))
+        if not ring_supported(R_probe, S, n_devices, k_merge_probe,
+                              recall_target):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "knn_comm='ring_pallas' geometry unsupported "
+                "(refs/device=%d, S=%d, ndev=%d, k=%d); tiering down to "
+                "knn_comm='ring'", R_probe, S, n_devices, k_merge_probe,
+            )
+            knn_comm = "ring"
+
     def sharded_body(positions, edges_full, valid_full, key, ops,
                      inject_sample=False):
         i = jax.lax.axis_index(axis_name)
@@ -769,12 +791,20 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
 
     # num_steps stays static — see models/embedder.py note on dynamic trip
     # counts (compile-time explosion on this toolchain).
-    @jax.jit
+    # positions and key are DONATED, mirroring the single-chip engine
+    # (models/embedder.py): at the 10M x 3 f32 tier the position buffer
+    # is 120 MB — without donation every dispatch keeps an extra live
+    # copy on the tier built for the biggest graphs. Callers must treat
+    # the passed-in positions/key as consumed (the embedder rebinds both
+    # from the outputs; raw_step below stays undonated for the parity
+    # harness, which replays the same buffers).
+    @partial(jax.jit, donate_argnums=(0, 3))
     def step(positions, edges_padded, valid, key, ops):
         key, sub = jax.random.split(key)
         return shard_fn(positions, edges_padded, valid, sub, ops), key
 
-    @partial(jax.jit, static_argnames=("num_steps",))
+    @partial(jax.jit, static_argnames=("num_steps",),
+             donate_argnums=(0, 3))
     def multi_step(positions, edges_padded, valid, key, ops, num_steps):
         def body(_, carry):
             positions, key = carry

@@ -44,6 +44,13 @@ LEGACY_ALIASES = {
 # (backend_selection.py:178-206 / embedder_cuvs.py:264-272).
 LARGE_GRAPH_VERTICES = 100_000
 MEDIUM_GRAPH_VERTICES = 10_000
+# Edge-count equivalents (avg degree 8, E = 4n — the same guess
+# estimate_memory_usage falls back to): what the kNN reference set and
+# the spring gather actually scale with, matching the engine's own
+# E-based tiering (models/embedder.py _resolved_strategy). A dense-ish
+# graph (1M edges on 50K vertices) tiers by its edges, not its vertices.
+LARGE_GRAPH_EDGES = 4 * LARGE_GRAPH_VERTICES
+MEDIUM_GRAPH_EDGES = 4 * MEDIUM_GRAPH_VERTICES
 
 
 @dataclass
@@ -118,13 +125,20 @@ def get_data_complexity_score(n_vertices, n_components):
 
 
 def estimate_memory_usage(n_vertices, n_components, strategy="exact",
-                          sample_size=1024):
+                          sample_size=1024, n_edges=None):
     """Rough working-set estimate in GB (reference
-    backend_selection.py:209-252)."""
+    backend_selection.py:209-252).
+
+    Uses the real edge count when the caller knows it (BackendConfig
+    carries it from the adjacency's nnz); falls back to the avg-degree-8
+    guess otherwise.
+    """
+    E = n_edges if n_edges is not None else n_vertices * 4
     pos = n_vertices * n_components * 4
-    edges = n_vertices * 8 * 8  # avg-degree-8 guess, int32 pairs x2 dirs
+    edges = E * 2 * 8  # int32 pairs x2 directions
     if strategy == "exact":
-        block = sample_size * n_vertices * 8 * 4
+        # one-shot (S, E) distance block: refs are the E edge midpoints
+        block = sample_size * max(E, n_vertices) * 8
     else:
         block = sample_size * 8192 * 4
     return (5 * pos + edges + block) / 1024**3
@@ -144,6 +158,11 @@ def get_optimal_backend(config: BackendConfig):
         return config.force_backend
 
     n = config.n_vertices
+    # Tier on BOTH axes: vertices (position/gather state) and edges (the
+    # kNN reference set — what the engine's own _resolved_strategy tiers
+    # on, models/embedder.py). Unknown E falls back to the avg-degree-8
+    # guess so vertex-only callers keep the old thresholds exactly.
+    E = config.n_edges if config.n_edges is not None else 4 * n
     has_tpu = check_tpu_availability() and config.prefer_tpu
     n_devices = (
         config.mesh_devices
@@ -157,7 +176,8 @@ def get_optimal_backend(config: BackendConfig):
     # big graphs to the CPU-mesh sharded tier — it is slower there than
     # the single-chip engine. Explicit opt-in stays available via
     # force_backend='sharded' or mesh_devices=N.
-    if n > LARGE_GRAPH_VERTICES and n_devices > 1 and (
+    large = n > LARGE_GRAPH_VERTICES or E > LARGE_GRAPH_EDGES
+    if large and n_devices > 1 and (
         has_tpu or config.mesh_devices is not None
     ):
         return "sharded"
@@ -167,11 +187,14 @@ def get_optimal_backend(config: BackendConfig):
     # set actually scales with — and compile-probes the Pallas binfold
     # kernel. CPU hosts take the exact blockwise scan. The hand-written
     # Pallas tiled kernel stays available via force_backend='pallas'.
-    if n > LARGE_GRAPH_VERTICES:
+    if large:
         return "auto" if has_tpu else "chunked"
-    if n > MEDIUM_GRAPH_VERTICES:
+    if n > MEDIUM_GRAPH_VERTICES or E > MEDIUM_GRAPH_EDGES:
         if config.memory_limit is not None:
-            est = estimate_memory_usage(n, config.n_components, "exact")
+            est = estimate_memory_usage(
+                n, config.n_components, "exact",
+                n_edges=config.n_edges,
+            )
             if est > config.memory_limit:
                 return "chunked"
         return "auto" if has_tpu else "chunked"
@@ -187,7 +210,7 @@ def log_backend_selection(strategy, config):
     )
 
 
-def get_default_config(n_vertices, n_components=2):
+def get_default_config(n_vertices, n_components=2, n_edges=None):
     """Build a BackendConfig honoring environment variables
     (reference backend_selection.py:286-293)."""
     prefer = os.environ.get(
@@ -197,6 +220,7 @@ def get_default_config(n_vertices, n_components=2):
     return BackendConfig(
         n_vertices=n_vertices,
         n_components=n_components,
+        n_edges=n_edges,
         force_backend=os.environ.get("GRAPHEM_BACKEND"),
         prefer_tpu=prefer,
         memory_limit=float(mem) if mem else None,

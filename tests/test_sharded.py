@@ -118,8 +118,10 @@ def test_build_sharded_step_smoke():
         pos, jnp.asarray(edges_p), jnp.asarray(valid), key, ops
     )
     assert np.isfinite(np.asarray(new_pos)).all()
+    # step/multi DONATE positions and key: continue from the outputs
+    # (reusing `pos` here would be a use-after-donate)
     (new_pos2, _) = multi(
-        pos, jnp.asarray(edges_p), jnp.asarray(valid), key, ops,
+        new_pos, jnp.asarray(edges_p), jnp.asarray(valid), key, ops,
         num_steps=3,
     )
     assert np.isfinite(np.asarray(new_pos2)).all()
