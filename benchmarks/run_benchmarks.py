@@ -47,7 +47,13 @@ GENERATOR_CONFIGS = [
     (gr.generate_scale_free, {"n": 500, "seed": 0}),
 ]
 
-DATASET_NAMES = ["snap-facebook_combined", "snap-ca-GrQc", "snap-ca-HepTh"]
+# SNAP sets run when their download cache exists; the vendored local-*
+# graphs (real classic networks checked into benchmarks/data/vendored)
+# always run, so the dataset suite produces artifacts on offline hosts
+DATASET_NAMES = [
+    "snap-facebook_combined", "snap-ca-GrQc", "snap-ca-HepTh",
+    "local-karate", "local-lesmis", "local-davis", "local-florentine",
+]
 
 INFLUENCE_CONFIGS = [
     (gr.erdos_renyi_graph, {"n": 200, "p": 0.05, "seed": 0}),

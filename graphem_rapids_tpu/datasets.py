@@ -263,6 +263,79 @@ class SNAPDataset(DatasetLoader):
         return vertices, edges
 
 
+class VendoredDataset(DatasetLoader):
+    """Real graphs vendored into the repo (benchmarks/data/vendored).
+
+    Classic recorded social networks shipped as networkx package data,
+    written out in SNAP edge-list format by scripts/vendor_datasets.py
+    and checked in — so the dataset pipeline (gz extraction, edge-text
+    parsing, symmetrization, LCC benchmark path) runs end-to-end on real
+    data even on hosts with no network access (the SNAP/NetRepo tiers
+    are download-gated; reference datasets.py:197-357).
+    """
+
+    AVAILABLE_DATASETS = {
+        "karate": {
+            "description": "Zachary's karate club social network (1977)",
+            "directed": False, "nodes": 34, "edges": 78,
+        },
+        "lesmis": {
+            "description": "Les Miserables co-appearance network "
+                           "(Knuth 1993)",
+            "directed": False, "nodes": 77, "edges": 254,
+        },
+        "florentine": {
+            "description": "Florentine families marriage network "
+                           "(Padgett 1994)",
+            "directed": False, "nodes": 15, "edges": 20,
+        },
+        "davis": {
+            "description": "Davis Southern Women attendance network "
+                           "(1941)",
+            "directed": False, "nodes": 32, "edges": 89,
+        },
+    }
+
+    def __init__(self, dataset_name):
+        if dataset_name not in self.AVAILABLE_DATASETS:
+            raise ValueError(
+                f"Unknown vendored dataset: {dataset_name}. Available: "
+                f"{', '.join(self.AVAILABLE_DATASETS)}"
+            )
+        self.dataset_info = self.AVAILABLE_DATASETS[dataset_name]
+        super().__init__(f"local-{dataset_name}")
+        self.dataset_name = dataset_name
+
+    def _gz_path(self):
+        return (
+            Path(__file__).resolve().parent.parent / "benchmarks" / "data"
+            / "vendored" / f"{self.dataset_name}.txt.gz"
+        )
+
+    def is_downloaded(self):
+        return self._gz_path().exists()
+
+    def download(self):
+        if not self.is_downloaded():
+            raise FileNotFoundError(
+                f"Vendored dataset file missing: {self._gz_path()} "
+                f"(regenerate with scripts/vendor_datasets.py)"
+            )
+
+    def load(self):
+        self.download()
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+        extracted = self.data_dir / f"{self.dataset_name}.txt"
+        if not extracted.exists():
+            with gzip.open(self._gz_path(), "rb") as src, \
+                    open(extracted, "wb") as dst:
+                shutil.copyfileobj(src, dst)
+        edges = _parse_edge_text(extracted)
+        edges = symmetrize_edges(edges)
+        vertices = np.unique(edges.flatten())
+        return vertices, edges
+
+
 class NetworkRepositoryDataset(DatasetLoader):
     """Network Repository datasets (https://networkrepository.com/)."""
 
@@ -415,6 +488,14 @@ def list_available_datasets():
             "edges": info.get("edges", "Unknown"),
             "directed": info["directed"],
         }
+    for name, info in VendoredDataset.AVAILABLE_DATASETS.items():
+        all_datasets[f"local-{name}"] = {
+            "source": "vendored (real graph, in-repo)", "name": name,
+            "description": info["description"],
+            "nodes": info.get("nodes", "Unknown"),
+            "edges": info.get("edges", "Unknown"),
+            "directed": info["directed"],
+        }
     for name, info in NetworkRepositoryDataset.AVAILABLE_DATASETS.items():
         all_datasets[f"netrepo-{name}"] = {
             "source": "Network Repository", "name": name,
@@ -435,12 +516,16 @@ def load_dataset(dataset_name):
     loader = None
     if dataset_name.startswith("snap-"):
         loader = SNAPDataset(dataset_name[5:])
+    elif dataset_name.startswith("local-"):
+        loader = VendoredDataset(dataset_name[6:])
     elif dataset_name.startswith("netrepo-"):
         loader = NetworkRepositoryDataset(dataset_name[8:])
     elif dataset_name.startswith("semanticscholar-"):
         loader = SemanticScholarDataset(dataset_name[16:])
     elif dataset_name in SNAPDataset.AVAILABLE_DATASETS:
         loader = SNAPDataset(dataset_name)
+    elif dataset_name in VendoredDataset.AVAILABLE_DATASETS:
+        loader = VendoredDataset(dataset_name)
     elif dataset_name in NetworkRepositoryDataset.AVAILABLE_DATASETS:
         loader = NetworkRepositoryDataset(dataset_name)
     elif dataset_name in SemanticScholarDataset.AVAILABLE_DATASETS:

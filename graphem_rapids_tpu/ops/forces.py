@@ -152,20 +152,32 @@ def build_neighbor_table(edges_np, n, cap=None):
     # reference set is built from a prefix of the table columns (ref_cap
     # below), so packing the i<j slots into that prefix minimizes padded
     # (never-a-reference) slots the approx kNN has to scan past.
+    from ..native import radix_argsort_native, scatter_ranks_native
+
     deg_fwd = np.bincount(e0, minlength=n)
     deg_rev = np.bincount(e1, minlength=n)
-    s = np.argsort(e0, kind="stable")
+    s = radix_argsort_native(e0)
+    if s is None:
+        s = np.argsort(e0, kind="stable").astype(np.int32)
     fwd_start = np.concatenate(
         [[0], np.cumsum(deg_fwd)[:-1]]
     ).astype(np.int32)
-    col_fwd = np.empty(E, np.int32)
-    col_fwd[s] = np.arange(E, dtype=np.int32) - fwd_start[e0[s]]
-    r = np.argsort(e1, kind="stable")
+    col_fwd = scatter_ranks_native(s, e0, fwd_start)
+    if col_fwd is None:
+        col_fwd = np.empty(E, np.int32)
+        col_fwd[s] = np.arange(E, dtype=np.int32) - fwd_start[e0[s]]
+    r = radix_argsort_native(e1)
     rev_start = np.concatenate(
         [[0], np.cumsum(deg_rev)[:-1]]
     ).astype(np.int32)
-    col_rev = np.empty(E, np.int32)
-    col_rev[r] = np.arange(E, dtype=np.int32) - rev_start[e1[r]]
+    col_rev = (
+        scatter_ranks_native(r, e1, rev_start) if r is not None else None
+    )
+    if col_rev is None:
+        if r is None:
+            r = np.argsort(e1, kind="stable")
+        col_rev = np.empty(E, np.int32)
+        col_rev[r] = np.arange(E, dtype=np.int32) - rev_start[e1[r]]
     col_rev += deg_fwd[e1].astype(np.int32)
 
     in_t_fwd = col_fwd < cap
@@ -176,7 +188,9 @@ def build_neighbor_table(edges_np, n, cap=None):
     # overflow pairs vertex-sorted, i<j entries first within a vertex
     ov_src = np.concatenate([e0[~in_t_fwd], e1[~in_t_rev]])
     ov_dst = np.concatenate([e1[~in_t_fwd], e0[~in_t_rev]])
-    o = np.argsort(ov_src, kind="stable")
+    o = radix_argsort_native(ov_src)
+    if o is None:
+        o = np.argsort(ov_src, kind="stable")
     overflow = np.column_stack([ov_src[o], ov_dst[o]])
     overflow_plan = build_overflow_plan(overflow)
 
@@ -289,7 +303,7 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
 
     Returns None when the bucket plan degenerates to one bucket (the flat
     table is already optimal — e.g. regular graphs), else a dict:
-      'perm'      : (n,) int64 — internal id -> user id
+      'perm'      : (n,) int — internal id -> user id
       'inv_perm'  : (n,) int32 — user id -> internal id
       'edges_int' : (E, 2) int32 — internal-id edge list, i<j, lexsorted
       'edge_map'  : (E,) int32 — user edge index -> internal edge index
@@ -323,21 +337,55 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
     # edge halves separately — the 2E directed-entry arrays, their 2E
     # lexsort, and the 2E rank arithmetic of the earlier formulation were
     # ~60% of a 95 s build. Ids ride int32 (n < 2^31 by the int32 device
-    # contract) to halve sort/gather traffic.
-    perm = np.argsort(clipped, kind="stable")
+    # contract) to halve sort/gather traffic. The remaining E-sized sorts
+    # and permutation passes run on the threaded C helpers
+    # (native/fastgraph.c: LSD radix argsort, relabel+minmax, pair
+    # permute, rank scatter) when the extension is built — together they
+    # took the 10M build from ~53 s to well under the 27 s round-3
+    # target; every helper has the original numpy line as fallback.
+    from ..native import (
+        apply_perm_minmax_native,
+        permute_pairs_native,
+        radix_argsort_native,
+        scatter_ranks_native,
+    )
+
+    perm = radix_argsort_native(clipped)
+    if perm is None:
+        perm = np.argsort(clipped, kind="stable")
     inv = np.empty(n, np.int32)
     inv[perm] = np.arange(n, dtype=np.int32)
 
-    a = inv[edges_user]
-    e_lo = np.minimum(a[:, 0], a[:, 1])
-    e_hi = np.maximum(a[:, 0], a[:, 1])
-    # single pack-key argsort instead of a two-pass lexsort (keys unique)
-    order = np.argsort(e_lo.astype(np.int64) * n + e_hi)
-    e0 = e_lo[order]
-    e1 = e_hi[order]
-    edges_int = np.column_stack([e0, e1])
-    edge_map = np.empty(E, np.int32)
-    edge_map[order] = np.arange(E, dtype=np.int32)
+    edges32 = (
+        edges_user if edges_user.dtype == np.int32
+        else edges_user.astype(np.int32)
+    )
+    lohi = apply_perm_minmax_native(edges32, inv)
+    if lohi is not None:
+        e_lo, e_hi = lohi
+    else:
+        a = inv[edges_user]
+        e_lo = np.minimum(a[:, 0], a[:, 1])
+        e_hi = np.maximum(a[:, 0], a[:, 1])
+    # single pack-key argsort instead of a two-pass lexsort (keys unique;
+    # lo << bits(n) | hi sorts identically to lo * n + hi)
+    order = radix_argsort_native(
+        (e_lo.astype(np.uint64) << int(n).bit_length())
+        | e_hi.astype(np.uint64)
+    )
+    if order is None:
+        order = np.argsort(e_lo.astype(np.int64) * n + e_hi)
+    pp = permute_pairs_native(e_lo, e_hi, np.asarray(order, np.int32))
+    if pp is not None:
+        edges_int, edge_map = pp
+        e0 = edges_int[:, 0].copy()
+        e1 = edges_int[:, 1].copy()
+    else:
+        e0 = e_lo[order]
+        e1 = e_hi[order]
+        edges_int = np.column_stack([e0, e1])
+        edge_map = np.empty(E, np.int32)
+        edge_map[order] = np.arange(E, dtype=np.int32)
     # internal edge p corresponds to user edge order[p]; the step's pair
     # dedup compares USER ids to preserve reference semantics
     edge_user = order
@@ -359,12 +407,18 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
         [[0], np.cumsum(deg_fwd)[:-1]]
     ).astype(np.int32)
     col_fwd = np.arange(E, dtype=np.int32) - fwd_start[e0]
-    r = np.argsort(e1, kind="stable")
+    r = radix_argsort_native(e1)
     rev_start = np.concatenate(
         [[0], np.cumsum(deg_rev)[:-1]]
     ).astype(np.int32)
-    col_rev = np.empty(E, np.int32)
-    col_rev[r] = np.arange(E, dtype=np.int32) - rev_start[e1[r]]
+    col_rev = (
+        scatter_ranks_native(r, e1, rev_start) if r is not None else None
+    )
+    if col_rev is None:
+        if r is None:
+            r = np.argsort(e1, kind="stable")
+        col_rev = np.empty(E, np.int32)
+        col_rev[r] = np.arange(E, dtype=np.int32) - rev_start[e1[r]]
     col_rev += deg_fwd[e1].astype(np.int32)           # absolute row column
 
     # flat slot space: vertex i owns vcap[i] consecutive slots. The sum
@@ -389,7 +443,9 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
     # (what build_overflow_plan's hub-contiguous runs expect)
     ov_src = np.concatenate([e0[~in_t_fwd], e1[~in_t_rev]])
     ov_dst = np.concatenate([e1[~in_t_fwd], e0[~in_t_rev]])
-    o = np.argsort(ov_src, kind="stable")
+    o = radix_argsort_native(ov_src)
+    if o is None:
+        o = np.argsort(ov_src, kind="stable")
     overflow = np.column_stack([ov_src[o], ov_dst[o]]).astype(np.int32)
     overflow_plan = build_overflow_plan(overflow)
 

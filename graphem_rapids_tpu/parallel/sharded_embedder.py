@@ -29,11 +29,13 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
     engine and replaces the layout step with the shard_map version.
     """
 
-    # Default: one flat vertex table sliced across the mesh. Pass
-    # binned_table=True to opt into the degree-binned sharded step
-    # (bucket-row-sharded tables — build_sharded_step docstring);
-    # stays opt-in until hardware-measured on a real mesh.
-    _wants_binned_table = False
+    # Degree-binned tables follow the same auto cost model as the
+    # single-chip engine (was opt-in until hardware-measured; the
+    # round-3 1-device TPU-mesh A/B at 1M vertices measured binned
+    # 78.3 vs flat 116.3 ms/iter — BASELINE.md r3 table — so the
+    # default now matches the single-chip tier's choice). Pass
+    # binned_table=False to force the flat sliced table.
+    _wants_binned_table = True
 
     def __init__(self, adjacency, n_components=2, mesh=None, knn_comm=None,
                  use_binfold_local=None, **kwargs):

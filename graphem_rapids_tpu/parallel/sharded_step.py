@@ -370,15 +370,26 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             )
             knn_comm = "ring"
 
+    def shard_slice(x, i, loc, axis0_extra=()):
+        """This device's row shard of a replicated array.
+
+        On a 1-device mesh the shard IS the array: skip the
+        dynamic_slice — a traced-start slice is a real copy plus a
+        fusion barrier, and at the 10M tier the copied tables alone are
+        hundreds of MB per step (measured in the r3 1-device A/B).
+        """
+        if n_devices == 1:
+            return x
+        start = (i * loc,) + (0,) * len(axis0_extra)
+        return jax.lax.dynamic_slice(x, start, (loc,) + tuple(axis0_extra))
+
     def sharded_body(positions, edges_full, valid_full, key, ops,
                      inject_sample=False):
         i = jax.lax.axis_index(axis_name)
 
         # ---- local edge shard --------------------------------------- #
-        edges_loc = jax.lax.dynamic_slice(
-            edges_full, (i * E_loc, 0), (E_loc, 2)
-        )
-        valid_loc = jax.lax.dynamic_slice(valid_full, (i * E_loc,), (E_loc,))
+        edges_loc = shard_slice(edges_full, i, E_loc, (2,))
+        valid_loc = shard_slice(valid_full, i, E_loc)
 
         if not fused_refs:
             # the fused path derives every midpoint from the table gather;
@@ -392,13 +403,10 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             # device. pv/pn per bucket are reused by the fused refs below.
             blocks, bpv, bpn = [], [], []
             for g, gm in enumerate(geoms):
-                tblg = jax.lax.dynamic_slice(
-                    ops["btables"][g], (i * gm["loc"], 0),
-                    (gm["loc"], gm["cap"]),
+                tblg = shard_slice(
+                    ops["btables"][g], i, gm["loc"], (gm["cap"],)
                 )
-                owng = jax.lax.dynamic_slice(
-                    ops["bowns"][g], (i * gm["loc"],), (gm["loc"],)
-                )
+                owng = shard_slice(ops["bowns"][g], i, gm["loc"])
                 png = positions[tblg]                 # (loc_g, cap_g, d)
                 pvg = positions[owng]
                 bpv.append(pvg)
@@ -434,12 +442,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                 )
         elif nb is not None:
             # ---- spring: vertex-sharded table gather + all_gather ---- #
-            tbl = jax.lax.dynamic_slice(
-                ops["table_pad"], (i * n_loc, 0), (n_loc, D_tbl)
-            )
-            own = jax.lax.dynamic_slice(
-                ops["own_pad"], (i * n_loc,), (n_loc,)
-            )
+            tbl = shard_slice(ops["table_pad"], i, n_loc, (D_tbl,))
+            own = shard_slice(ops["own_pad"], i, n_loc)
             pn = positions[tbl]                       # (n_loc, D, d)
             pv = positions[own]
             dv = pn - pv[:, None, :]
@@ -499,9 +503,9 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                 seg_meta,
                 [(g, gm) for g, gm in enumerate(geoms) if gm["rc"] > 0],
             ):
-                rvg = jax.lax.dynamic_slice(
-                    ops["bref_valid"][len(mids)], (i * gm["loc"], 0),
-                    (gm["loc"], gm["rc"]),
+                rvg = shard_slice(
+                    ops["bref_valid"][len(mids)], i, gm["loc"],
+                    (gm["rc"],),
                 )
                 mids.append(masked_slot_midpoints(
                     bpv[g], bpn[g], gm["rc"], rvg
@@ -522,9 +526,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             # overflow refs appear once (device 0), masked elsewhere.
             # Slot formula shared with the single-chip builder via
             # ops/forces.py masked_slot_midpoints / overflow_midpoints.
-            rv_loc = jax.lax.dynamic_slice(
-                ops["ref_valid_pad"], (i * n_loc, 0), (n_loc, ref_cap)
-            )
+            rv_loc = shard_slice(ops["ref_valid_pad"], i, n_loc,
+                                 (ref_cap,))
             mid_loc = masked_slot_midpoints(pv, pn, ref_cap, rv_loc)
             if O2:
                 mid_loc = jnp.concatenate([
@@ -539,10 +542,13 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             mid_loc = jnp.where(valid_loc[:, None] > 0, mid_loc, 1e30)
             R_loc = E_loc
         kk = min(k + 1, R_loc)
-        if use_approx_local:
+        if use_approx_local and not use_binfold_local:
             # TPU meshes: the reference count must be lane-padded for
             # approx_min_k (ragged E measured ~500x slower, BASELINE.md).
-            # Pad rows sit at 1e30 so they are never selected.
+            # Pad rows sit at 1e30 so they are never selected. The
+            # binfold kernel pads/transposes its own input
+            # (ops/knn_binfold.py _binfold_padded) — pre-padding there
+            # would just materialize an extra full copy of the ref set.
             R_lane = -(-R_loc // 128) * 128
             if R_lane != R_loc:
                 mid_loc = jnp.concatenate([

@@ -134,3 +134,70 @@ def test_embedder_uses_native_extraction():
     az.data[upper[0]] = 0.0
     emb_z = gr.GraphEmbedderTPU(az, n_components=2, seed=0, verbose=False)
     assert emb_z.n_edges == emb.n_edges - 1
+
+
+@pytest.mark.fast
+@needs_native
+def test_radix_argsort_matches_numpy():
+    """Threaded LSD radix argsort == np.argsort(kind='stable') across
+    sizes, key widths (1-4 passes), duplicates, and empty input."""
+    from graphem_rapids_tpu.native import radix_argsort_native
+
+    rng = np.random.default_rng(3)
+    cases = [
+        np.zeros(0, np.uint64),
+        np.array([5], np.uint64),
+        rng.integers(0, 7, 1000).astype(np.uint64),        # dups, 1 pass
+        rng.integers(0, 2**30, 10_000).astype(np.uint64),  # 2 passes
+        rng.integers(0, 2**45, 50_000).astype(np.uint64),  # 3 passes
+        rng.integers(0, 2**60, 20_000).astype(np.uint64),  # 4 passes
+        rng.integers(0, 100, 5000).astype(np.int32),       # int32 keys
+        np.minimum(rng.integers(0, 40, 3000), 11),         # int64 keys
+    ]
+    for k in cases:
+        got = radix_argsort_native(k)
+        want = np.argsort(k, kind="stable")
+        assert got is not None
+        np.testing.assert_array_equal(got, want.astype(np.int32))
+    # negative keys refuse (caller falls back)
+    assert radix_argsort_native(np.array([-1, 3], np.int64)) is None
+
+
+@pytest.mark.fast
+@needs_native
+def test_table_build_helpers_match_numpy():
+    """apply_perm_minmax / permute_pairs / scatter_ranks == their numpy
+    formulations (the lines they replace in build_neighbor_table*)."""
+    from graphem_rapids_tpu.native import (
+        apply_perm_minmax_native,
+        permute_pairs_native,
+        scatter_ranks_native,
+    )
+
+    rng = np.random.default_rng(4)
+    n, E = 500, 4000
+    edges = rng.integers(0, n, (E, 2)).astype(np.int32)
+    inv = rng.permutation(n).astype(np.int32)
+    lo, hi = apply_perm_minmax_native(edges, inv)
+    a = inv[edges]
+    np.testing.assert_array_equal(lo, np.minimum(a[:, 0], a[:, 1]))
+    np.testing.assert_array_equal(hi, np.maximum(a[:, 0], a[:, 1]))
+
+    order = rng.permutation(E).astype(np.int32)
+    pairs, invp = permute_pairs_native(lo, hi, order)
+    np.testing.assert_array_equal(
+        pairs, np.column_stack([lo[order], hi[order]])
+    )
+    want_inv = np.empty(E, np.int32)
+    want_inv[order] = np.arange(E, dtype=np.int32)
+    np.testing.assert_array_equal(invp, want_inv)
+
+    keys = rng.integers(0, n, E).astype(np.int32)
+    perm = np.argsort(keys, kind="stable").astype(np.int32)
+    starts = np.concatenate(
+        [[0], np.cumsum(np.bincount(keys, minlength=n))[:-1]]
+    ).astype(np.int32)
+    got = scatter_ranks_native(perm, keys, starts)
+    want = np.empty(E, np.int32)
+    want[perm] = np.arange(E, dtype=np.int32) - starts[keys[perm]]
+    np.testing.assert_array_equal(got, want)

@@ -76,7 +76,7 @@ def test_ring_binfold_matches_bin_model(ndev, S, E, k):
                                out_specs=(P(), P()), check_vma=False))
     _, idx = fn(q, refs)
     idx = np.asarray(idx)
-    T, G, _, R_pad, _, _ = _geometry(E_loc, S, ndev, k, 0.95)
+    T, G, _, R_pad, _, _, _ = _geometry(E_loc, S, ndev, k, 0.95)
     gt = _bin_model_truth(q, refs, k, ndev, R_pad, T, G)
     match = np.mean([set(a) == set(b) for a, b in zip(idx, gt)])
     assert match == 1.0, match
@@ -137,5 +137,99 @@ def test_ring_supported_bounds():
     assert ring_supported(4096, 128, 4, 9)
     # index lanes past 2^24 refuse
     assert not ring_supported(3_000_000, 128, 8, 9)
-    # carry past the VMEM budget refuses
-    assert not ring_supported(4096, 8192, 2, 48)
+    # carries past the VMEM budget route to the HBM kernel (see
+    # test_ring_supported_hbm_extension below)
+    assert _geometry(4096, 8192, 2, 48, 0.95)[-1] is True
+
+
+# ---------------------------------------------------------------------- #
+# HBM-carry variant (_kernel_hbm): carries beyond the VMEM budget ride
+# ANY/HBM space with per-group chunked read-merge-write (VERDICT r2
+# weak #3 — S=512 used to refuse below ndev=4).
+# ---------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("ndev,S,E,k", [(8, 64, 8 * 2048, 9),
+                                        (4, 50, 4 * 2048, 6),
+                                        (2, 40, 2 * 2048, 5),
+                                        (1, 16, 2048, 5)])
+def test_ring_binfold_hbm_matches_bin_model(monkeypatch, ndev, S, E, k):
+    """With the VMEM budget forced to zero every geometry routes to the
+    HBM-carry kernel; its merged top-k must equal the numpy bin model
+    exactly, like the VMEM kernel."""
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    from graphem_rapids_tpu.parallel import ring_binfold as rb
+
+    monkeypatch.setattr(rb, "_VMEM_BUDGET", 0)
+    axis, dim = "x", 3
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((S, dim)).astype(np.float32)
+    refs = rng.standard_normal((E, dim)).astype(np.float32)
+    E_loc = E // ndev
+    assert _geometry(E_loc, S, ndev, k, 0.95)[-1] is True  # hbm path
+    mesh = Mesh(np.array(jax.devices()[:ndev]), (axis,))
+
+    def body(q_all, refs_all):
+        i = jax.lax.axis_index(axis)
+        r = jax.lax.dynamic_slice(refs_all, (i * E_loc, 0), (E_loc, dim))
+        v, ix, _ = ring_binfold_topk(q_all, r, k, ndev=ndev,
+                                     axis_name=axis)
+        return v, ix
+
+    fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(P(), P()),
+                               out_specs=(P(), P()), check_vma=False))
+    _, idx = fn(q, refs)
+    idx = np.asarray(idx)
+    T, G, _, R_pad, _, _, _ = _geometry(E_loc, S, ndev, k, 0.95)
+    gt = _bin_model_truth(q, refs, k, ndev, R_pad, T, G)
+    match = np.mean([set(a) == set(b) for a, b in zip(idx, gt)])
+    assert match == 1.0, match
+
+
+def test_ring_binfold_hbm_race_free(monkeypatch):
+    """Interpret-mode happens-before race detector over the HBM-carry
+    protocol (per-group chunk DMAs + RDMA rotation + flow control)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    from jax._src.pallas.mosaic.interpret import interpret_pallas_call \
+        as ipc
+    from graphem_rapids_tpu.parallel import ring_binfold as rb
+
+    monkeypatch.setattr(rb, "_VMEM_BUDGET", 0)
+    axis, dim, ndev, S, k = "x", 3, 4, 48, 6
+    E = ndev * 2048
+    E_loc = E // ndev
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((S, dim)).astype(np.float32)
+    refs = rng.standard_normal((E, dim)).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), (axis,))
+    params = pltpu.InterpretParams(
+        dma_execution_mode="on_wait", detect_races=True
+    )
+
+    def body(q_all, refs_all):
+        i = jax.lax.axis_index(axis)
+        r = jax.lax.dynamic_slice(refs_all, (i * E_loc, 0), (E_loc, dim))
+        v, ix, _ = ring_binfold_topk(q_all, r, k, ndev=ndev,
+                                     axis_name=axis, interpret=params)
+        return v, ix
+
+    fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(P(), P()),
+                               out_specs=(P(), P()), check_vma=False))
+    v, idx = fn(q, refs)
+    jax.block_until_ready(v)
+    assert np.isfinite(np.asarray(v)).all()
+    assert ipc.races is None or not ipc.races.races_found
+
+
+def test_ring_supported_hbm_extension():
+    """The old VMEM refusal shapes are now supported (HBM carry); only
+    the fp32 index-lane bound still refuses."""
+    # S=512 at ndev=2 was the BASELINE.md "refuses by design" shape
+    assert ring_supported(4096, 512, 2, 16)
+    assert ring_supported(4096, 8192, 2, 48)  # old VMEM-refused case
+    assert not ring_supported(3_000_000, 128, 8, 9)  # index lanes

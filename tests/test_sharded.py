@@ -286,6 +286,10 @@ def test_sharded_fused_refs_hub_stress():
     fused = ShardedGraphEmbedder(
         adj, n_components=3, mesh=make_mesh(8), seed=7, verbose=False,
         sample_size=256, n_neighbors=8, fused_midpoints=True,
+        binned_table=False,  # this test pins the FLAT fused path on
+        # both sides (the sharded default now auto-bins like the
+        # single-chip engine; binned-vs-binned parity is covered by
+        # test_sharded_binned_* below)
     )
     assert fused._fused_refs_active
     for _ in range(5):
