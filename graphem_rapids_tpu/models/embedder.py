@@ -653,12 +653,19 @@ class GraphEmbedderTPU:
             )
         self._iteration += 1
 
-    def run_layout(self, num_iterations=100, block_size=10):
+    def run_layout(self, num_iterations=100, block_size=10,
+                   progress=False):
         """Run the force-directed layout.
 
         Iterations execute on-device in fused blocks of ``block_size`` (one
         XLA dispatch per block) with progress logged between blocks; the
         final positions are returned as numpy.
+
+        progress : bool — show a tqdm progress bar (reference
+        embedder_pytorch.py:825 wraps the loop in tqdm). The bar
+        advances per BLOCK, not per iteration: a per-iteration bar
+        would force one host sync per step and serialize the fused
+        dispatches the engine's throughput comes from.
         """
         if self.verbose:
             self.logger.info("Running layout for %d iterations", num_iterations)
@@ -667,6 +674,15 @@ class GraphEmbedderTPU:
         if self.n_edges == 0:
             return self.positions
 
+        bar = None
+        if progress:
+            try:
+                from tqdm import tqdm
+
+                bar = tqdm(total=num_iterations, desc="layout",
+                           unit="iter")
+            except ImportError:
+                pass
         done = 0
         while done < num_iterations:
             n = min(block_size, num_iterations - done)
@@ -675,10 +691,17 @@ class GraphEmbedderTPU:
             )
             done += n
             self._iteration += n
+            if bar is not None:
+                # sync so the bar tracks real device progress, not the
+                # async dispatch queue
+                jax.block_until_ready(self._positions)
+                bar.update(n)
             if self.verbose:
                 self.logger.info(
                     "Completed iteration %d/%d", done, num_iterations
                 )
+        if bar is not None:
+            bar.close()
         jax.block_until_ready(self._positions)
         return self.positions
 
