@@ -37,6 +37,8 @@ from ..ops.forces import (
     midpoint_refs_from_gathered,
     spring_forces_binned,
     spring_forces_from_gathered,
+    spring_refs_binned_slotwise,
+    spring_refs_slotwise,
 )
 from ..ops.knn import knn
 from ..ops.laplacian import spectral_init
@@ -45,6 +47,13 @@ from ..utils.memory_management import get_optimal_chunk_size
 logger = logging.getLogger(__name__)
 
 EPS = 1e-6
+
+# Auto threshold for the slot-major ref layout (ref_order=None on TPU):
+# at 10M vertices the row-major program compiles and runs (BASELINE.md),
+# at 30M its cap-minor lane-padded temps exceed HBM at compile time, so
+# the auto switch sits between the two until slotwise is measured at the
+# mid tiers.
+SLOT_REF_ORDER_MIN_N = 16_000_000
 
 
 class GraphEmbedderTPU:
@@ -107,6 +116,14 @@ class GraphEmbedderTPU:
         degree distributions. None (default) lets the bucket cost model
         decide; True forces binning with zero per-bucket overhead
         allowance; False keeps the flat table.
+    ref_order : {'row', 'slot'}, optional
+        Flattened kNN ref-space enumeration and table orientation
+        (ops/forces.py build_neighbor_table*). None (default) picks
+        'slot' on TPU above SLOT_REF_ORDER_MIN_N vertices: the
+        slot-major order lets the step build spring forces and midpoint
+        refs from per-slot 2D blocks, avoiding the cap-minor temps
+        whose 16x lane padding blocked the 30M-vertex compile
+        (BASELINE.md round 3).
     memory_efficient : bool, default=True
         Kept for API compatibility; chunked strategies are always available.
     verbose : bool, default=True
@@ -121,6 +138,9 @@ class GraphEmbedderTPU:
     # Subclasses that consume the flat neighbor table directly (the
     # sharded mesh tier) opt out of the degree-binned structure.
     _wants_binned_table = True
+    # The sharded tier's per-device ref tiles assume row-major slot
+    # enumeration; it opts out of the slot-major layout.
+    _supports_slot_order = True
 
     def __init__(
         self,
@@ -140,6 +160,7 @@ class GraphEmbedderTPU:
         init="auto",
         fused_midpoints=None,
         binned_table=None,
+        ref_order=None,
         memory_efficient=True,
         verbose=True,
         logger_instance=None,
@@ -169,6 +190,7 @@ class GraphEmbedderTPU:
         self.knn_recall_target = float(knn_recall_target)
         self.fused_midpoints = fused_midpoints
         self.binned_table = binned_table
+        self.ref_order = ref_order
         self._iteration = 0
 
         if self.n_components <= 0:
@@ -222,10 +244,27 @@ class GraphEmbedderTPU:
                 self._wants_binned_table if binned_table is None
                 else bool(binned_table)
             )
+            if ref_order is None:
+                ref_order = (
+                    "slot"
+                    if (self._supports_slot_order
+                        and self.device.platform == "tpu"
+                        and self.n >= SLOT_REF_ORDER_MIN_N)
+                    else "row"
+                )
+            elif ref_order == "slot" and not self._supports_slot_order:
+                raise ValueError(
+                    "ref_order='slot' is not supported by this engine "
+                    "(the sharded tier's ref tiles are row-major)"
+                )
+            elif ref_order not in ("row", "slot"):
+                raise ValueError(f"unknown ref_order: {ref_order!r}")
+            self.ref_order = ref_order
             nbb = (
                 build_neighbor_table_binned(
                     edges_np, self.n,
                     overhead_rows=0 if binned_table else 4096,
+                    ref_order=ref_order,
                 )
                 if want_binned and self.n_edges > 0 else None
             )
@@ -236,7 +275,9 @@ class GraphEmbedderTPU:
                 self._edge_map = nbb["edge_map"]
                 self.edges = jnp.asarray(nbb["edges_int"], jnp.int32)
             else:
-                self._nb = build_neighbor_table(edges_np, self.n)
+                self._nb = build_neighbor_table(
+                    edges_np, self.n, ref_order=ref_order
+                )
                 self._perm = None
                 self._inv_perm = None
                 self._edge_map = None
@@ -459,18 +500,22 @@ class GraphEmbedderTPU:
         # the closure; raw_step re-merges them into the nb dict the
         # forces helpers expect.
         binned = "buckets" in nb
+        slot_order = nb.get("ref_order") == "slot"
         step_ops = {
             "nb": {
                 k_: v_ for k_, v_ in nb.items()
                 if k_ in ("ref_edge", "ref_valid", "edge_ref")
-                or (k_ == "table" and not binned)
+                or (k_ in ("table", "table_t") and not binned)
             },
             "edges": edges,
         }
         if binned:
             # per-bucket tables ride as a jit-argument list; the bucket
             # geometry (starts/caps) stays static in the closure
-            step_ops["tables"] = [g["table"] for g in nb["buckets"]]
+            step_ops["tables"] = [
+                g["table_t" if slot_order else "table"]
+                for g in nb["buckets"]
+            ]
             step_ops["edge_order"] = jnp.asarray(
                 nb["edge_user"], jnp.int32
             )
@@ -497,7 +542,29 @@ class GraphEmbedderTPU:
                 {**ops["ov_plan"], "block": ov_plan["block"]}
                 if "ov_plan" in ops else None
             )
-            if binned:
+            refs_sw = None
+            if slot_order:
+                # per-slot 2D gathers shared between the spring fold and
+                # the midpoint ref set — no cap-minor temps (see
+                # SLOT_REF_ORDER_MIN_N)
+                want_refs = fused_refs and k_eff > 1
+                if binned:
+                    spring, refs_sw = spring_refs_binned_slotwise(
+                        positions, ops["tables"], nb, k_attr, L_min,
+                        ref_valid=nb_rt["ref_valid"],
+                        overflow_lt=ops.get("overflow_lt"),
+                        overflow_edges=ops.get("nb_overflow"),
+                        overflow_plan=plan_rt, want_refs=want_refs,
+                    )
+                else:
+                    spring, refs_sw = spring_refs_slotwise(
+                        positions, nb_rt["table_t"], nb_rt, k_attr, L_min,
+                        ref_valid=nb_rt["ref_valid"],
+                        overflow_lt=ops.get("overflow_lt"),
+                        overflow_edges=ops.get("nb_overflow"),
+                        overflow_plan=plan_rt, want_refs=want_refs,
+                    )
+            elif binned:
                 pn_list = [positions[t] for t in ops["tables"]]
                 spring = spring_forces_binned(
                     positions, pn_list, nb, k_attr, L_min,
@@ -511,7 +578,9 @@ class GraphEmbedderTPU:
                 )
             if k_eff > 1:
                 if fused_refs:
-                    if binned:
+                    if slot_order:
+                        refs = refs_sw
+                    elif binned:
                         refs = midpoint_refs_binned(
                             positions, pn_list,
                             {**nb, "ref_valid": nb_rt["ref_valid"]},

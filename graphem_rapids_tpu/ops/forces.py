@@ -92,7 +92,7 @@ def _optimal_table_cap(deg, n, max_cap=1024):
     return int(C[int(np.argmin(cost))])
 
 
-def build_neighbor_table(edges_np, n, cap=None):
+def build_neighbor_table(edges_np, n, cap=None, ref_order="row"):
     """Precompute a dense neighbor table for gather-based spring forces.
 
     TPU scatters are slow (and slow to compile); a dense (n, D) neighbor
@@ -122,9 +122,20 @@ def build_neighbor_table(edges_np, n, cap=None):
       'edge_ref'   : (E,) int32 — reference-slot index of each edge
       'overflow_plan': dict or None — block-fold scatter plan for the
                      overflow pairs (build_overflow_plan)
+
+    ``ref_order`` picks the flattened ref-space enumeration:
+      'row'  (default): slot (v, s) -> v*ref_cap + s, table stored (n, D).
+      'slot': slot (v, s) -> s*n + v, table stored TRANSPOSED (D, n) under
+              'table_t'. The slot-major order lets the device step build
+              the ref set from per-slot 2D (n, d) blocks whose natural
+              XLA layouts are n-minor — at very large n the row-major
+              order makes XLA materialize cap-minor temps whose (cap ->
+              128) lane padding is a 16x HBM blowup (measured: the 30M
+              tier failed to compile at 20.7G/15.75G from exactly those
+              temps, experiments/data/bench_30m_binned4.log).
     """
     if len(edges_np) == 0:
-        return {
+        out = {
             "table": jnp.zeros((n, 1), jnp.int32),
             "overflow": np.zeros((0, 2), np.int32),
             "n": n,
@@ -134,7 +145,11 @@ def build_neighbor_table(edges_np, n, cap=None):
             "overflow_lt": np.zeros((0, 2), np.int32),
             "edge_ref": jnp.zeros((0,), jnp.int32),
             "overflow_plan": None,
+            "ref_order": ref_order,
         }
+        if ref_order == "slot":
+            out["table_t"] = out.pop("table").T
+        return out
     # Forward/reverse half decomposition (same cost discipline as
     # build_neighbor_table_binned): no 2E directed-entry arrays, no 2E
     # lexsort — two stable E-argsorts plus rank arithmetic, int32 ids.
@@ -221,12 +236,17 @@ def build_neighbor_table(edges_np, n, cap=None):
 
     overflow_lt = np.column_stack([e0[ko], e1[ko]])
     edge_ref = np.full(E, -1, np.int32)
-    edge_ref[kt] = e0[kt] * ref_cap + col_fwd[kt]
+    if ref_order == "slot":
+        edge_ref[kt] = col_fwd[kt] * n + e0[kt]
+    else:
+        edge_ref[kt] = e0[kt] * ref_cap + col_fwd[kt]
     edge_ref[ko] = n * ref_cap + np.arange(len(ko), dtype=np.int32)
 
+    if ref_order == "slot":
+        slot_edge = np.ascontiguousarray(slot_edge.T)
+        ref_valid = np.ascontiguousarray(ref_valid.T)
     ref_edge = np.concatenate([slot_edge.reshape(-1), ko])
-    return {
-        "table": jnp.asarray(table),
+    out = {
         "overflow": overflow,
         "n": n,
         "ref_cap": ref_cap,
@@ -235,7 +255,13 @@ def build_neighbor_table(edges_np, n, cap=None):
         "overflow_lt": overflow_lt,
         "edge_ref": jnp.asarray(edge_ref),
         "overflow_plan": overflow_plan,
+        "ref_order": ref_order,
     }
+    if ref_order == "slot":
+        out["table_t"] = jnp.asarray(np.ascontiguousarray(table.T))
+    else:
+        out["table"] = jnp.asarray(table)
+    return out
 
 
 # Scatter rows cost ~14x a gathered/computed row on v5e (111 vs 8 ns
@@ -290,7 +316,8 @@ def plan_degree_buckets(deg_clipped, max_buckets=8, overhead_rows=4096):
     return buckets
 
 
-def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
+def build_neighbor_table_binned(edges_user, n, overhead_rows=4096,
+                                ref_order="row"):
     """Degree-binned neighbor tables with an internal vertex renumbering.
 
     Vertices are stably sorted by (table-cap-clipped) directed degree and
@@ -313,6 +340,13 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
       'ref_valid', 'n' : as in build_neighbor_table (internal ids; the
                     flattened ref space is the concatenation of each
                     bucket's (count_g * ref_cap_g) slots, then overflow)
+
+    ``ref_order`` (see build_neighbor_table): 'row' enumerates each
+    bucket's ref slots (v, s) -> p*ref_cap_g + s (p = v - start_g) and
+    stores 'table' (count, cap); 'slot' enumerates s*count_g + p and
+    stores 'table_t' (cap, count) — the layout the slotwise device path
+    (spring_refs_binned_slotwise) wants, which avoids the cap-minor
+    lane-padding blowup at very large n.
     """
     E = len(edges_user)
     if E == 0:
@@ -470,14 +504,23 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
     vref = np.repeat(ref_caps, counts).astype(np.int32)
     ref_off = np.concatenate([[0], np.cumsum(counts * ref_caps)])
     R_slots = int(ref_off[-1])
-    ref_row_off = (
-        np.repeat(ref_off[:-1], counts) + (
-            np.arange(n) - np.repeat(starts, counts)
-        ) * vref
-    ).astype(np.int32)
 
     sel_t = col_fwd < vref[e0]
-    ref_slot = ref_row_off[e0[sel_t]] + col_fwd[sel_t]
+    if ref_order == "slot":
+        # slot-major within each bucket: base_g + s*count_g + (v - start_g)
+        base = np.repeat(ref_off[:-1], counts).astype(np.int32)
+        cntv = np.repeat(counts, counts).astype(np.int32)
+        posv = (np.arange(n, dtype=np.int32)
+                - np.repeat(starts, counts).astype(np.int32))
+        et = e0[sel_t]
+        ref_slot = base[et] + col_fwd[sel_t] * cntv[et] + posv[et]
+    else:
+        ref_row_off = (
+            np.repeat(ref_off[:-1], counts) + (
+                np.arange(n) - np.repeat(starts, counts)
+            ) * vref
+        ).astype(np.int32)
+        ref_slot = ref_row_off[e0[sel_t]] + col_fwd[sel_t]
     ref_valid = np.zeros(R_slots, bool)
     ref_valid[ref_slot] = True
     slot_ref_edge = np.zeros(R_slots, np.int32)
@@ -496,16 +539,19 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
     buckets = []
     for g, (cnt, cap) in enumerate(spec):
         a, b = slot_off[starts[g]], slot_off[starts[g] + cnt]
-        buckets.append({
+        bucket = {
             "start": int(starts[g]),
             "count": int(cnt),
             "cap": int(cap),
             "ref_cap": int(ref_caps[g]),
             "ref_offset": int(ref_off[g]),
-            "table": jnp.asarray(
-                flat_table[a:b].reshape(cnt, cap)
-            ),
-        })
+        }
+        t = flat_table[a:b].reshape(cnt, cap)
+        if ref_order == "slot":
+            bucket["table_t"] = jnp.asarray(np.ascontiguousarray(t.T))
+        else:
+            bucket["table"] = jnp.asarray(t)
+        buckets.append(bucket)
 
     return {
         "perm": perm,
@@ -520,6 +566,7 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096):
         "edge_ref": jnp.asarray(edge_ref),
         "ref_edge": jnp.asarray(ref_edge),
         "ref_valid": jnp.asarray(ref_valid),
+        "ref_order": ref_order,
         "n": n,
     }
 
@@ -590,6 +637,130 @@ def midpoint_refs_binned(positions, pn_list, nbb, overflow_lt=None):
             [refs, overflow_midpoints(positions, overflow_lt)], axis=0
         )
     return refs
+
+
+def _apply_table_overflow(forces, positions, n, overflow_edges,
+                          overflow_plan, k_attr, L_min):
+    """Shared overflow accumulation for the table spring variants."""
+    if overflow_plan is not None:
+        return apply_overflow_plan(
+            forces, positions, overflow_plan, k_attr, L_min
+        )
+    if overflow_edges is not None and overflow_edges.shape[0] > 0:
+        fo = _overflow_spring(positions, overflow_edges, k_attr, L_min)
+        return forces + jax.ops.segment_sum(
+            fo, overflow_edges[:, 0], num_segments=n
+        )
+    return forces
+
+
+def spring_refs_binned_slotwise(positions, tables_t, nbb, k_attr, L_min,
+                                ref_valid=None, overflow_lt=None,
+                                overflow_edges=None, overflow_plan=None,
+                                want_refs=True):
+    """Spring forces + midpoint refs from slot-major binned tables.
+
+    Device path for ``build_neighbor_table_binned(..., ref_order='slot')``:
+    one (count_g,)-row gather per table COLUMN, accumulating the spring
+    fold and (for the first ref_cap_g columns) emitting the (count_g, d)
+    midpoint block for the slot-major flat ref space. Every intermediate
+    is 2D with the long axis leading — there are no (count, cap) or
+    (d, count, cap) temps for XLA to lane-pad, which is what blocked the
+    30M-vertex compile on the row-major path (16x padding on cap -> 128,
+    experiments/data/bench_30m_binned4.log; reference scale anchor:
+    embedder_cuvs.py routes >1M vertices to ivf_pq).
+
+    Returns ``(forces, refs)``; ``refs`` is None when ``want_refs`` is
+    False. Semantics match spring_forces_binned + midpoint_refs_binned
+    exactly (same per-slot math, reordered ref enumeration).
+    """
+    blocks = []
+    parts = []
+    off = 0
+    for g, tt in zip(nbb["buckets"], tables_t):
+        cnt, cap = g["count"], g["cap"]
+        rc = min(g["ref_cap"], cap)
+        pv = jax.lax.slice_in_dim(positions, g["start"], g["start"] + cnt)
+        if cap == 0:
+            blocks.append(jnp.zeros_like(pv))
+            continue
+        acc = jnp.zeros_like(pv)
+        for s in range(cap):
+            pn_s = positions[tt[s]]
+            diff = pn_s - pv
+            dist = jnp.linalg.norm(diff, axis=-1, keepdims=True) + EPS
+            acc = acc + (-k_attr * (dist - L_min)) * (diff / dist)
+            if want_refs and s < rc:
+                v = jax.lax.slice_in_dim(
+                    ref_valid, off + s * cnt, off + (s + 1) * cnt
+                )
+                parts.append(jnp.where(
+                    v[:, None], (pv + pn_s) * 0.5,
+                    jnp.asarray(REF_PAD_VALUE, positions.dtype),
+                ))
+        blocks.append(acc)
+        off += cnt * rc
+    forces = jnp.concatenate(blocks, axis=0)
+    forces = _apply_table_overflow(
+        forces, positions, nbb["n"], overflow_edges, overflow_plan,
+        k_attr, L_min,
+    )
+    refs = None
+    if want_refs:
+        d = positions.shape[1]
+        refs = (
+            jnp.concatenate(parts, axis=0) if parts
+            else jnp.zeros((0, d), positions.dtype)
+        )
+        if overflow_lt is not None and overflow_lt.shape[0] > 0:
+            refs = jnp.concatenate(
+                [refs, overflow_midpoints(positions, overflow_lt)], axis=0
+            )
+    return forces, refs
+
+
+def spring_refs_slotwise(positions, table_t, nb, k_attr, L_min,
+                         ref_valid=None, overflow_lt=None,
+                         overflow_edges=None, overflow_plan=None,
+                         want_refs=True):
+    """Flat-table counterpart of spring_refs_binned_slotwise.
+
+    Device path for ``build_neighbor_table(..., ref_order='slot')``:
+    the (D, n) transposed table is walked one column-row at a time; ref
+    slot (v, s) lands at flat index s*n + v.
+    """
+    D = table_t.shape[0]
+    n = positions.shape[0]
+    rc = min(nb["ref_cap"], D)
+    acc = jnp.zeros_like(positions)
+    parts = []
+    for s in range(D):
+        pn_s = positions[table_t[s]]
+        diff = pn_s - positions
+        dist = jnp.linalg.norm(diff, axis=-1, keepdims=True) + EPS
+        acc = acc + (-k_attr * (dist - L_min)) * (diff / dist)
+        if want_refs and s < rc:
+            v = jax.lax.slice_in_dim(ref_valid, s * n, (s + 1) * n)
+            parts.append(jnp.where(
+                v[:, None], (positions + pn_s) * 0.5,
+                jnp.asarray(REF_PAD_VALUE, positions.dtype),
+            ))
+    forces = _apply_table_overflow(
+        acc, positions, nb["n"], overflow_edges, overflow_plan,
+        k_attr, L_min,
+    )
+    refs = None
+    if want_refs:
+        d = positions.shape[1]
+        refs = (
+            jnp.concatenate(parts, axis=0) if parts
+            else jnp.zeros((0, d), positions.dtype)
+        )
+        if overflow_lt is not None and overflow_lt.shape[0] > 0:
+            refs = jnp.concatenate(
+                [refs, overflow_midpoints(positions, overflow_lt)], axis=0
+            )
+    return forces, refs
 
 
 def build_overflow_plan(overflow):

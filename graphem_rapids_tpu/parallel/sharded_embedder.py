@@ -36,6 +36,9 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
     # default now matches the single-chip tier's choice). Pass
     # binned_table=False to force the flat sliced table.
     _wants_binned_table = True
+    # per-device ref tiles reshape the flat ref space (count, ref_cap)
+    # row-major (sharded_step.py); the slot-major layout is single-chip
+    _supports_slot_order = False
 
     def __init__(self, adjacency, n_components=2, mesh=None, knn_comm=None,
                  use_binfold_local=None, **kwargs):
