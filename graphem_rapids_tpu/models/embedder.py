@@ -260,11 +260,22 @@ class GraphEmbedderTPU:
             elif ref_order not in ("row", "slot"):
                 raise ValueError(f"unknown ref_order: {ref_order!r}")
             self.ref_order = ref_order
+            # Keep the ref space inside the binfold kernel's segmented
+            # index bound — past it the fused-refs gate silently turns
+            # off and the step re-pays the 2E midpoint gather. Only
+            # binds at ~100M-edge scale (the builders trim pad columns
+            # first; see forces.py ref_budget).
+            if self.device.platform == "tpu":
+                from ..ops.knn_binfold import MAX_REFS_SEGMENTED
+
+                ref_budget = MAX_REFS_SEGMENTED - 1
+            else:
+                ref_budget = None
             nbb = (
                 build_neighbor_table_binned(
                     edges_np, self.n,
                     overhead_rows=0 if binned_table else 4096,
-                    ref_order=ref_order,
+                    ref_order=ref_order, ref_budget=ref_budget,
                 )
                 if want_binned and self.n_edges > 0 else None
             )
@@ -276,7 +287,8 @@ class GraphEmbedderTPU:
                 self.edges = jnp.asarray(nbb["edges_int"], jnp.int32)
             else:
                 self._nb = build_neighbor_table(
-                    edges_np, self.n, ref_order=ref_order
+                    edges_np, self.n, ref_order=ref_order,
+                    ref_budget=ref_budget,
                 )
                 self._perm = None
                 self._inv_perm = None

@@ -92,7 +92,8 @@ def _optimal_table_cap(deg, n, max_cap=1024):
     return int(C[int(np.argmin(cost))])
 
 
-def build_neighbor_table(edges_np, n, cap=None, ref_order="row"):
+def build_neighbor_table(edges_np, n, cap=None, ref_order="row",
+                         ref_budget=None):
     """Precompute a dense neighbor table for gather-based spring forces.
 
     TPU scatters are slow (and slow to compile); a dense (n, D) neighbor
@@ -221,6 +222,20 @@ def build_neighbor_table(edges_np, n, cap=None, ref_order="row"):
         cost = n * C + 13 * over
         if best_cost is None or cost < best_cost:
             best_cost, ref_cap = cost, C
+    if ref_budget is not None:
+        # same segmented-index-bound trim as the binned build: drop ref
+        # columns (cheapest pads first) until slots + spills fit
+        m = int(deg_fwd.max()) if n else 0
+        h = np.bincount(deg_fwd, minlength=m + 1)
+        gt = n - np.cumsum(h)  # gt[c] = #{v: fwd_deg_v > c}
+        total = n * ref_cap + int(gt[ref_cap:].sum())
+        while total > ref_budget and ref_cap > 1:
+            c = ref_cap - 1
+            gt_c = int(gt[c]) if c < len(gt) else 0
+            if gt_c >= n:
+                break  # the column is all real edges
+            total -= n - gt_c
+            ref_cap -= 1
 
     # ref maps follow the (vertex asc, column asc) enumeration of i<j
     # slots — ks restricts the e0-sort to that order so the overflow-ref
@@ -317,7 +332,7 @@ def plan_degree_buckets(deg_clipped, max_buckets=8, overhead_rows=4096):
 
 
 def build_neighbor_table_binned(edges_user, n, overhead_rows=4096,
-                                ref_order="row"):
+                                ref_order="row", ref_budget=None):
     """Degree-binned neighbor tables with an internal vertex renumbering.
 
     Vertices are stably sorted by (table-cap-clipped) directed degree and
@@ -501,6 +516,39 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096,
             if best_cost is None or cost < best_cost:
                 best_cost, best_C = cost, C
         ref_caps[g] = best_C
+    if ref_budget is not None:
+        # Bound the TOTAL ref space (slot prefixes + i<j spills) for the
+        # kernel's segmented-index limit: greedily drop the ref column
+        # holding the fewest real edges — each drop deletes count_g
+        # slots and spills n_gt (< count_g) edges to overflow refs, a
+        # strict shrink. At 30M/96M-edge scale the cost-model prefixes
+        # carry ~43M pure pad slots that push the total 3% past
+        # MAX_REFS_SEGMENTED, which would otherwise silently disable
+        # fused refs (BASELINE.md round 3).
+        n_gt = []
+        spill0 = 0
+        for g, (cnt, cap) in enumerate(spec):
+            ld = lt_deg[starts[g]:starts[g] + cnt]
+            m = int(ld.max()) if cnt else 0
+            h = np.bincount(ld, minlength=m + 1)
+            gt = cnt - np.cumsum(h)  # gt[c] = #{v: fwd_deg_v > c}
+            n_gt.append(gt)
+            spill0 += int(gt[ref_caps[g]:].sum())
+        total = int((counts * ref_caps).sum()) + spill0
+        while total > ref_budget:
+            best_g, best_d = -1, 0
+            for g, (cnt, _cap) in enumerate(spec):
+                if ref_caps[g] == 0:
+                    continue
+                c = int(ref_caps[g]) - 1
+                gt_c = int(n_gt[g][c]) if c < len(n_gt[g]) else 0
+                d = cnt - gt_c  # pad slots deleted by dropping column c
+                if d > best_d:
+                    best_d, best_g = d, g
+            if best_g < 0:
+                break  # every remaining slot is a real edge
+            ref_caps[best_g] -= 1
+            total -= best_d
     vref = np.repeat(ref_caps, counts).astype(np.int32)
     ref_off = np.concatenate([[0], np.cumsum(counts * ref_caps)])
     R_slots = int(ref_off[-1])

@@ -139,3 +139,47 @@ def test_slot_order_rejected_on_sharded():
             adj, n_components=2, mesh=make_mesh(2), seed=0, verbose=False,
             ref_order="slot",
         )
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("order", ["row", "slot"])
+def test_ref_budget_trim_midpoints_exact(order):
+    """A ref_budget that forces column trims keeps every edge's ref
+    midpoint exact (trimmed edges spill to overflow refs)."""
+    import jax.numpy as jnp
+
+    from graphem_rapids_tpu.ops.forces import (
+        midpoint_refs_binned,
+        spring_refs_binned_slotwise,
+    )
+
+    adj = gr.generate_ba(n=400, m=4, seed=3)
+    rows, cols = adj.nonzero()
+    mask = rows < cols
+    edges = np.column_stack([rows[mask], cols[mask]]).astype(np.int32)
+    E = len(edges)
+    free = build_neighbor_table_binned(edges, 400, overhead_rows=0,
+                                       ref_order=order)
+    budget = int(free["ref_edge"].shape[0] * 0.7)
+    nbb = build_neighbor_table_binned(edges, 400, overhead_rows=0,
+                                      ref_order=order, ref_budget=budget)
+    assert int(nbb["ref_edge"].shape[0]) <= budget
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.standard_normal((400, 3)).astype(np.float32))
+    ov = jnp.asarray(nbb["overflow_lt"]) if len(nbb["overflow_lt"]) else None
+    if order == "slot":
+        tables_t = [g["table_t"] for g in nbb["buckets"]]
+        _, refs = spring_refs_binned_slotwise(
+            pos, tables_t, nbb, 0.1, 1.0,
+            ref_valid=nbb["ref_valid"], overflow_lt=ov,
+        )
+    else:
+        pn_list = [pos[g["table"]] for g in nbb["buckets"]]
+        refs = midpoint_refs_binned(pos, pn_list, nbb, ov)
+    refs = np.asarray(refs)
+    # every edge's ref slot holds its midpoint (internal numbering)
+    ei = nbb["edges_int"]
+    expect = np.asarray((pos[ei[:, 0]] + pos[ei[:, 1]]) / 2.0)
+    got = refs[np.asarray(nbb["edge_ref"])]
+    np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-6)
+    assert E == len(ei)
