@@ -12,9 +12,12 @@ gap — of three programs:
      top-k + merge, no intersection/update/normalize), chained by
      folding a hash of the merged ids back into the positions carry so
      every iteration stays data-dependent.
+  D. sharded SPRING-only loop (_debug_spring: gathers + fold +
+     all_gathers + overflow + normalize).
+  E. single-chip SPRING-only loop (same math minus the shard_map
+     machinery, built directly from the engine's tables).
 
-B - C = the sharded tail (intersection + update + normalize).
-A - (B - C) vs C attributes the gap to body vs tail.
+B - C = the sharded tail; D - E = the spring-section gap.
 """
 
 import os
@@ -127,6 +130,46 @@ def main():
         return jax.lax.fori_loop(0, ITERS, body, (pos, key))
 
     time_block("C sharded debug loop (no tail)", run_debug, pos0, key0)
+
+    # D: sharded spring-only loop
+    _, multi_sp, ops_sp = build_sharded_step(
+        mesh, nb["n"], E, _debug_spring=True, **common
+    )
+
+    def run_sharded_spring(pos, key):
+        return multi_sp(pos, edges_p, valid, key, ops_sp,
+                        num_steps=ITERS)
+
+    time_block("D sharded spring-only loop", run_sharded_spring,
+               pos0, key0)
+
+    # E: single-chip spring-only loop, built from the engine's tables
+    from graphem_rapids_tpu.ops.forces import spring_forces_binned
+
+    ov_block = (
+        nb["overflow_plan"]["block"] if nb.get("overflow_plan") else None
+    )
+
+    @jax.jit
+    def run_single_spring(pos, key):
+        def body(_, carry):
+            pos, key = carry
+            pn_list = [pos[t] for t in ops_single["tables"]]
+            plan_rt = (
+                {**ops_single["ov_plan"], "block": ov_block}
+                if "ov_plan" in ops_single else None
+            )
+            s = spring_forces_binned(
+                pos, pn_list, nb, FORCE["k_attr"], FORCE["L_min"],
+                ops_single.get("nb_overflow"), plan_rt,
+            )
+            s0 = s - jnp.mean(s, axis=0, keepdims=True)
+            s0 = s0 / (jnp.std(s0, axis=0, keepdims=True, ddof=1) + 1e-6)
+            return s0, key
+
+        return jax.lax.fori_loop(0, ITERS, body, (pos, key))
+
+    time_block("E single spring-only loop", run_single_spring, pos0, key0)
 
 
 if __name__ == "__main__":

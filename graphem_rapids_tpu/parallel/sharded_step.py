@@ -64,8 +64,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                        knn_recall_target=0.95, use_approx_local=None,
                        use_binfold_local=None, fused_refs=None,
                        knn_comm=None, knn_dtype="auto",
-                       _debug_knn=False, return_raw=False,
-                       axis_name=EDGE_AXIS):
+                       _debug_knn=False, _debug_spring=False,
+                       return_raw=False, axis_name=EDGE_AXIS):
     """Build the jitted multi-chip update step.
 
     Returns (step, multi_step, step_ops) where
@@ -481,6 +481,13 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             ids = jnp.concatenate([edges_loc[:, 0], edges_loc[:, 1]])
             spring_partial = jax.ops.segment_sum(vals, ids, num_segments=n)
             spring = jax.lax.psum(spring_partial, axis_name)
+
+        if _debug_spring:
+            # timing hook (experiments/probe_sharded_gap2_1m.py): stop
+            # after the spring section, normalized so a chained timing
+            # loop's carry stays finite
+            s0 = spring - jnp.mean(spring, axis=0, keepdims=True)
+            return s0 / (jnp.std(s0, axis=0, keepdims=True, ddof=1) + EPS)
 
         # ---- sampled query midpoints (identical on all devices) ------ #
         from ..ops.sampling import sample_indices
