@@ -208,11 +208,22 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                                gm["start"], np.int32)
                 ])
             btables.append(jnp.asarray(t))
-            own = np.full(gm["pad"], gm["start"], np.int32)
-            own[:gm["count"]] = np.arange(
-                gm["start"], gm["start"] + gm["count"], dtype=np.int32
-            )
-            bowns.append(jnp.asarray(own))
+            # pv rows are CONTIGUOUS (internal ids are degree-sorted, so
+            # each device's bucket shard is a row range): the body uses
+            # slices, which cost nothing vs the n gathered rows/iteration
+            # the old positions[own] indirection paid (~9 ns/row — it was
+            # most of the r3 sharded-vs-single gap at 1M/10M). An index
+            # array is kept ONLY for a bucket whose padded range would
+            # overrun n (a traced dynamic_slice would clamp and misalign
+            # the real rows).
+            if n_devices > 1 and gm["start"] + gm["pad"] > n:
+                own = np.full(gm["pad"], gm["start"], np.int32)
+                own[:gm["count"]] = np.arange(
+                    gm["start"], gm["start"] + gm["count"], dtype=np.int32
+                )
+                bowns.append(jnp.asarray(own))
+            else:
+                bowns.append(None)
         step_ops["btables"] = btables
         step_ops["bowns"] = bowns
         ov_plan = nb.get("overflow_plan")
@@ -292,10 +303,13 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         step_ops["table_pad"] = jnp.concatenate(
             [table, jnp.zeros((n_pad - n, D_tbl), jnp.int32)]
         ) if n_pad != n else table
+        # pv rows are contiguous — the body slices positions directly; an
+        # index array is kept only when the padded range overruns n (see
+        # the binned-branch note)
         step_ops["own_pad"] = jnp.concatenate(
             [jnp.arange(n, dtype=jnp.int32),
              jnp.zeros(n_pad - n, jnp.int32)]
-        ) if n_pad != n else jnp.arange(n, dtype=jnp.int32)
+        ) if (n_devices > 1 and n_pad != n) else None
         ov_plan = nb.get("overflow_plan")
         if ov_plan is not None:
             # block-fold plan (ops/forces.py build_overflow_plan): same
@@ -406,9 +420,26 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                 tblg = shard_slice(
                     ops["btables"][g], i, gm["loc"], (gm["cap"],)
                 )
-                owng = shard_slice(ops["bowns"][g], i, gm["loc"])
                 png = positions[tblg]                 # (loc_g, cap_g, d)
-                pvg = positions[owng]
+                if n_devices == 1:
+                    # exact single-chip form: a free (fusable) slice
+                    pvg = jax.lax.slice_in_dim(
+                        positions, gm["start"], gm["start"] + gm["count"]
+                    )
+                elif ops["bowns"][g] is None:
+                    # contiguous row range, no overrun past n possible:
+                    # a bandwidth-bound DMA instead of loc_g gathered
+                    # rows (overrun into the NEXT bucket's rows is fine —
+                    # those land past count_g in the all_gather output
+                    # and the [:count] slice drops them)
+                    pvg = jax.lax.dynamic_slice(
+                        positions,
+                        (gm["start"] + i * gm["loc"], 0),
+                        (gm["loc"], positions.shape[1]),
+                    )
+                else:
+                    owng = shard_slice(ops["bowns"][g], i, gm["loc"])
+                    pvg = positions[owng]
                 bpv.append(pvg)
                 bpn.append(png)
                 if gm["cap"] == 0:
@@ -443,9 +474,16 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         elif nb is not None:
             # ---- spring: vertex-sharded table gather + all_gather ---- #
             tbl = shard_slice(ops["table_pad"], i, n_loc, (D_tbl,))
-            own = shard_slice(ops["own_pad"], i, n_loc)
             pn = positions[tbl]                       # (n_loc, D, d)
-            pv = positions[own]
+            if n_devices == 1:
+                pv = positions                        # n_loc == n
+            elif ops["own_pad"] is None:
+                pv = jax.lax.dynamic_slice(
+                    positions, (i * n_loc, 0),
+                    (n_loc, positions.shape[1]),
+                )
+            else:
+                pv = positions[shard_slice(ops["own_pad"], i, n_loc)]
             dv = pn - pv[:, None, :]
             dd = jnp.linalg.norm(dv, axis=-1, keepdims=True) + EPS
             fv = (-k_attr * (dd - L_min)) * (dv / dd)
