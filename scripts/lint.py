@@ -1,8 +1,16 @@
-"""Minimal stdlib linter: syntax errors + unused imports.
+"""Stdlib linter: the load-bearing pylint subset, zero dependencies.
 
-The reference repo gates CI on pylint >= 9.5 (.pylintrc); this image has
-no pylint/pyflakes, so this provides the load-bearing subset with zero
-dependencies. Exit 1 on any finding.
+The reference repo gates CI on pylint >= 9.5
+(/root/reference/.github/workflows/pylint.yml, .pylintrc:2); this image
+has no pylint/pyflakes, so this reimplements the precise (no-false-
+positive) slice of that ruleset on the stdlib ast module. Exit 1 on any
+finding.
+
+Checks: syntax errors, unused imports (W0611), mutable default
+arguments (W0102), bare except (W0702), singleton comparison with
+==/!= (C0121), f-strings without interpolation (W1309), duplicate
+dict-literal keys (W0109), assert on a non-empty tuple (W0199), and
+line length > 100 (C0301, matching the reference .pylintrc max).
 
 Usage: python scripts/lint.py [paths...]   (default: package + harness)
 """
@@ -70,6 +78,61 @@ def check_file(path):
                 f"{path}:{lineno}: unused import: {qual}"
                 + (f" (as {local})" if local != qual else "")
             )
+
+    def flag(node, msg):
+        if not noqa(node.lineno):
+            problems.append(f"{path}:{node.lineno}: {msg}")
+
+    # a FormattedValue's format_spec (":.3f") is itself a JoinedStr with
+    # no placeholders — not a W1309
+    spec_ids = {
+        id(node.format_spec)
+        for node in ast.walk(tree)
+        if isinstance(node, ast.FormattedValue) and node.format_spec
+    }
+
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            for d in node.args.defaults + node.args.kw_defaults:
+                if isinstance(d, (ast.List, ast.Dict, ast.Set)):
+                    flag(d, "mutable default argument (W0102)")
+        elif isinstance(node, ast.ExceptHandler):
+            if node.type is None:
+                flag(node, "bare except (W0702)")
+        elif isinstance(node, ast.Compare):
+            for op, right in zip(node.ops, node.comparators):
+                if isinstance(op, (ast.Eq, ast.NotEq)) and isinstance(
+                    right, ast.Constant
+                ) and right.value in (True, False, None) and isinstance(
+                    right.value, (bool, type(None))
+                ):
+                    flag(node, f"comparison with {right.value!r} should "
+                         "use is/is not (C0121)")
+        elif isinstance(node, ast.JoinedStr):
+            if id(node) not in spec_ids and not any(
+                isinstance(v, ast.FormattedValue) for v in node.values
+            ):
+                flag(node, "f-string without interpolation (W1309)")
+        elif isinstance(node, ast.Dict):
+            seen = set()
+            for k in node.keys:
+                if isinstance(k, ast.Constant):
+                    try:
+                        if k.value in seen:
+                            flag(k, f"duplicate dict key {k.value!r} "
+                                 "(W0109)")
+                        seen.add(k.value)
+                    except TypeError:
+                        pass
+        elif isinstance(node, ast.Assert):
+            if isinstance(node.test, ast.Tuple) and node.test.elts:
+                flag(node, "assert on a non-empty tuple is always true "
+                     "(W0199)")
+
+    for i, line in enumerate(lines, 1):
+        if len(line) > 100 and "noqa" not in line:
+            problems.append(f"{path}:{i}: line too long "
+                            f"({len(line)} > 100) (C0301)")
     return problems
 
 
