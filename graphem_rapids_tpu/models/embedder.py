@@ -141,6 +141,13 @@ class GraphEmbedderTPU:
     # The sharded tier's per-device ref tiles assume row-major slot
     # enumeration; it opts out of the slot-major layout.
     _supports_slot_order = True
+    # Whether the neighbor-table builders place their arrays on device.
+    # The sharded tier sets False: it pads/reshapes the tables host-side
+    # in build_sharded_step before a single device placement, and a
+    # device round-trip costs a full table fetch + re-upload over the
+    # TPU tunnel (most of the 70 s sharded-vs-single init gap measured
+    # at 10M vertices — BASELINE.md round 3).
+    _nb_to_device = True
 
     def __init__(
         self,
@@ -276,6 +283,7 @@ class GraphEmbedderTPU:
                     edges_np, self.n,
                     overhead_rows=0 if binned_table else 4096,
                     ref_order=ref_order, ref_budget=ref_budget,
+                    to_device=self._nb_to_device,
                 )
                 if want_binned and self.n_edges > 0 else None
             )
@@ -284,15 +292,22 @@ class GraphEmbedderTPU:
                 self._perm = nbb["perm"]
                 self._inv_perm = nbb["inv_perm"]
                 self._edge_map = nbb["edge_map"]
+                # host copy in ENGINE numbering — the sharded tier pads
+                # edges host-side and must not fetch them back off-device
+                self._edges_engine_np = np.asarray(
+                    nbb["edges_int"], np.int32
+                )
                 self.edges = jnp.asarray(nbb["edges_int"], jnp.int32)
             else:
                 self._nb = build_neighbor_table(
                     edges_np, self.n, ref_order=ref_order,
                     ref_budget=ref_budget,
+                    to_device=self._nb_to_device,
                 )
                 self._perm = None
                 self._inv_perm = None
                 self._edge_map = None
+                self._edges_engine_np = np.asarray(edges_np, np.int32)
                 self.edges = jnp.asarray(edges_np, jnp.int32)
             self._nb_overflow = (
                 jnp.asarray(self._nb["overflow"])

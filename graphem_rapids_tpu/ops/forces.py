@@ -93,7 +93,7 @@ def _optimal_table_cap(deg, n, max_cap=1024):
 
 
 def build_neighbor_table(edges_np, n, cap=None, ref_order="row",
-                         ref_budget=None):
+                         ref_budget=None, to_device=True):
     """Precompute a dense neighbor table for gather-based spring forces.
 
     TPU scatters are slow (and slow to compile); a dense (n, D) neighbor
@@ -261,21 +261,27 @@ def build_neighbor_table(edges_np, n, cap=None, ref_order="row",
         slot_edge = np.ascontiguousarray(slot_edge.T)
         ref_valid = np.ascontiguousarray(ref_valid.T)
     ref_edge = np.concatenate([slot_edge.reshape(-1), ko])
+    # to_device=False keeps every array host-side: the sharded tier pads
+    # and reshapes these before its own single device placement, and a
+    # device round-trip here would cost a full fetch + re-upload of the
+    # table bytes over the TPU tunnel (measured as most of the 70 s
+    # sharded-vs-single init gap at 10M vertices, BASELINE.md round 3).
+    put = jnp.asarray if to_device else np.asarray
     out = {
         "overflow": overflow,
         "n": n,
         "ref_cap": ref_cap,
-        "ref_edge": jnp.asarray(ref_edge),
-        "ref_valid": jnp.asarray(ref_valid.reshape(-1)),
+        "ref_edge": put(ref_edge),
+        "ref_valid": put(ref_valid.reshape(-1)),
         "overflow_lt": overflow_lt,
-        "edge_ref": jnp.asarray(edge_ref),
+        "edge_ref": put(edge_ref),
         "overflow_plan": overflow_plan,
         "ref_order": ref_order,
     }
     if ref_order == "slot":
-        out["table_t"] = jnp.asarray(np.ascontiguousarray(table.T))
+        out["table_t"] = put(np.ascontiguousarray(table.T))
     else:
-        out["table"] = jnp.asarray(table)
+        out["table"] = put(table)
     return out
 
 
@@ -332,7 +338,8 @@ def plan_degree_buckets(deg_clipped, max_buckets=8, overhead_rows=4096):
 
 
 def build_neighbor_table_binned(edges_user, n, overhead_rows=4096,
-                                ref_order="row", ref_budget=None):
+                                ref_order="row", ref_budget=None,
+                                to_device=True):
     """Degree-binned neighbor tables with an internal vertex renumbering.
 
     Vertices are stably sorted by (table-cap-clipped) directed degree and
@@ -584,6 +591,9 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096,
     )
     ref_edge = np.concatenate([slot_ref_edge, eids_fwd[sel_o]])
 
+    # see build_neighbor_table: to_device=False keeps arrays host-side
+    # for callers (the sharded tier) that pad before device placement
+    put = jnp.asarray if to_device else np.asarray
     buckets = []
     for g, (cnt, cap) in enumerate(spec):
         a, b = slot_off[starts[g]], slot_off[starts[g] + cnt]
@@ -596,9 +606,9 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096,
         }
         t = flat_table[a:b].reshape(cnt, cap)
         if ref_order == "slot":
-            bucket["table_t"] = jnp.asarray(np.ascontiguousarray(t.T))
+            bucket["table_t"] = put(np.ascontiguousarray(t.T))
         else:
-            bucket["table"] = jnp.asarray(t)
+            bucket["table"] = put(t)
         buckets.append(bucket)
 
     return {
@@ -611,9 +621,9 @@ def build_neighbor_table_binned(edges_user, n, overhead_rows=4096,
         "overflow": overflow,
         "overflow_plan": overflow_plan,
         "overflow_lt": overflow_lt,
-        "edge_ref": jnp.asarray(edge_ref),
-        "ref_edge": jnp.asarray(ref_edge),
-        "ref_valid": jnp.asarray(ref_valid),
+        "edge_ref": put(edge_ref),
+        "ref_edge": put(ref_edge),
+        "ref_valid": put(ref_valid),
         "ref_order": ref_order,
         "n": n,
     }

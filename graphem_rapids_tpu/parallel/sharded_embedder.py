@@ -39,6 +39,10 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
     # per-device ref tiles reshape the flat ref space (count, ref_cap)
     # row-major (sharded_step.py); the slot-major layout is single-chip
     _supports_slot_order = False
+    # neighbor tables stay host-side until build_sharded_step pads them
+    # (models/embedder.py _nb_to_device — avoids a device round-trip of
+    # the full table bytes through the TPU tunnel at init)
+    _nb_to_device = False
 
     def __init__(self, adjacency, n_components=2, mesh=None, knn_comm=None,
                  use_binfold_local=None, **kwargs):
@@ -62,12 +66,13 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
         return None if mesh_is_multiprocess(self.mesh) else self.mesh
 
     def _build_step(self):
-        # self.edges carries the engine's edge numbering: the internal
-        # (renumbered, lexsorted) list when the binned table is active,
-        # the user-order list otherwise — sampling, ref maps, and the
-        # intersection dedup all speak that numbering.
+        # self._edges_engine_np carries the engine's edge numbering: the
+        # internal (renumbered, lexsorted) list when the binned table is
+        # active, the user-order list otherwise — sampling, ref maps, and
+        # the intersection dedup all speak that numbering. (The host copy
+        # avoids fetching self.edges back off the device just to pad it.)
         edges_p, valid = pad_edges(
-            np.asarray(self.edges), self._n_mesh_devices
+            self._edges_engine_np, self._n_mesh_devices
         )
         self._edges_padded = jnp.asarray(edges_p)
         self._valid = jnp.asarray(valid)

@@ -301,8 +301,8 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         # pad rows (vertices >= n) gather garbage that the final [:n]
         # slice discards; index 0 keeps them in bounds
         step_ops["table_pad"] = jnp.concatenate(
-            [table, jnp.zeros((n_pad - n, D_tbl), jnp.int32)]
-        ) if n_pad != n else table
+            [jnp.asarray(table), jnp.zeros((n_pad - n, D_tbl), jnp.int32)]
+        ) if n_pad != n else jnp.asarray(table)
         # pv rows are contiguous — the body slices positions directly; an
         # index array is kept only when the padded range overruns n (see
         # the binned-branch note)
