@@ -13,8 +13,16 @@ sample_size=512, n_neighbors=15, warm iterations):
     51,788 edges/s  (7.724 s/iter, measured 2026-08-17 via
     /root/reference GraphEmbedderPyTorch with display/scoring deps stubbed)
 
-Prints exactly one JSON line:
+Prints one JSON line per tier (scale tiers first, the 100K headline line
+LAST so a tail parser keeps the round-over-round headline metric):
     {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+
+A second, 1M-vertex tier (ring + 3M random chords, E≈4M — the
+experiments/bench_1m.py workload) runs by default so scale-tier
+regressions are driver-visible, not buried in experiments/; disable with
+--no-scale. Its vs_baseline uses the same measured reference-CPU rate
+(the reference engine's edges/s is scale-flat: one CPU, same per-edge
+work — a direct 1M run would take ~64 min for 50 iters).
 
 Run `python bench.py --calibrate` to re-measure the reference baseline on
 the current host (takes ~3 min; requires /root/reference).
@@ -85,6 +93,62 @@ def wait_for_healthy_backend(attempts=8, probe_budget_s=120,
         if attempt < attempts:
             time.sleep(retry_sleep_s)
     return False
+
+
+N_SCALE = 1_000_000
+SCALE_CHORDS = 3_000_000
+SCALE_ITERS = 50
+
+
+def build_scale_graph():
+    """Ring + random chords at n=1M (experiments/bench_1m.py workload)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(0)
+    ring = np.column_stack(
+        [np.arange(N_SCALE), (np.arange(N_SCALE) + 1) % N_SCALE]
+    )
+    chords = rng.integers(0, N_SCALE, (SCALE_CHORDS, 2))
+    chords = chords[chords[:, 0] != chords[:, 1]]
+    e = np.concatenate([ring, chords])
+    i, j = np.minimum(e[:, 0], e[:, 1]), np.maximum(e[:, 0], e[:, 1])
+    a = sp.coo_matrix((np.ones(len(e)), (i, j)),
+                      shape=(N_SCALE, N_SCALE)).tocsr()
+    a.data[:] = 1
+    return a + a.T
+
+
+def run_scale_bench(knn_strategy="auto"):
+    """1M-vertex tier: fused 50-iter blocks, 2-row sync, best-of-3."""
+    import numpy as np
+
+    import graphem_rapids_tpu as gr
+
+    adj = build_scale_graph()
+    emb = gr.GraphEmbedderTPU(
+        adj, n_components=DIM, seed=0, verbose=False, init="random",
+        knn_strategy=knn_strategy, **FORCE_PARAMS,
+    )
+    E = emb.n_edges
+
+    def block():
+        emb._positions, emb._key = emb._multi_step(
+            emb._positions, emb._key, emb._step_ops, num_steps=SCALE_ITERS
+        )
+        np.asarray(emb._positions[:2])
+
+    block()  # compile once and run warm
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        block()
+        dt = min(dt, time.perf_counter() - t0)
+    emb._iteration += 4 * SCALE_ITERS
+
+    assert np.isfinite(np.asarray(emb._positions[:1000])).all(), \
+        "non-finite positions"
+    return E * SCALE_ITERS / dt, dt
 
 
 def run_tpu_bench(knn_strategy="auto"):
@@ -211,6 +275,8 @@ def main():
                         help="re-measure the reference CPU baseline")
     parser.add_argument("--strategy", default="auto",
                         help="kNN strategy (auto/exact/chunked/approx/pallas)")
+    parser.add_argument("--no-scale", action="store_true",
+                        help="skip the 1M-vertex scale tier")
     args = parser.parse_args()
 
     baseline = REFERENCE_CPU_EDGES_PER_SEC
@@ -218,6 +284,18 @@ def main():
         baseline = calibrate()
 
     edges_per_sec, dt = run_tpu_bench(args.strategy)
+    try:
+        if not args.no_scale:
+            scale_eps, _ = run_scale_bench(args.strategy)
+            print(json.dumps({
+                "metric": "layout_edges_per_sec_1m_vertices_50_iters",
+                "value": round(scale_eps, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(scale_eps / baseline, 2),
+            }), flush=True)
+    except Exception as exc:  # scale tier must never cost the headline
+        print(f"bench.py: 1M scale tier failed: {exc!r}",
+              file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "layout_edges_per_sec_100k_vertices_50_iters",
         "value": round(edges_per_sec, 1),

@@ -136,15 +136,16 @@ def build_neighbor_table(edges_np, n, cap=None, ref_order="row",
               temps, experiments/data/bench_30m_binned4.log).
     """
     if len(edges_np) == 0:
+        put = jnp.asarray if to_device else np.asarray
         out = {
-            "table": jnp.zeros((n, 1), jnp.int32),
+            "table": put(np.zeros((n, 1), np.int32)),
             "overflow": np.zeros((0, 2), np.int32),
             "n": n,
             "ref_cap": 1,
-            "ref_edge": jnp.zeros((n,), jnp.int32),
-            "ref_valid": jnp.zeros((n,), bool),
+            "ref_edge": put(np.zeros((n,), np.int32)),
+            "ref_valid": put(np.zeros((n,), bool)),
             "overflow_lt": np.zeros((0, 2), np.int32),
-            "edge_ref": jnp.zeros((0,), jnp.int32),
+            "edge_ref": put(np.zeros((0,), np.int32)),
             "overflow_plan": None,
             "ref_order": ref_order,
         }

@@ -705,11 +705,16 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             # shard has met every reference tile and is back home; one
             # (S/ndev, k_merge) all_gather of the final carries replaces
             # the two (ndev, S, kk) candidate all_gathers of the default
-            # merge. The merge orders candidates by (distance, global ref
-            # index) via a two-key lax.sort, so the running merge is
-            # associative — device-order independent — and the result
-            # matches the all_gather merge exactly whenever distances are
-            # tie-free (ties: lex order instead of device order).
+            # merge. The merge orders candidates by (distance, column
+            # key = owner_device*kk + local rank) via a two-key lax.sort.
+            # The column key is exactly the candidate's column index in
+            # the all_gather merge's (device, rank) layout, and lax.top_k
+            # is stable (ties keep the lower column), so the running
+            # merge is associative — device-order independent — AND
+            # bitwise-matches the all_gather merge even when distances
+            # tie (duplicate midpoints are common on real graphs; the
+            # pre-round-4 global-ref-index tie-break silently changed
+            # trajectories there).
             S_loc = -(-S // n_devices)
             S_pad = S_loc * n_devices
             q_pad = jnp.concatenate([
@@ -725,27 +730,38 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             perm = [(j, (j - 1) % n_devices) for j in range(n_devices)]
 
             def ring_body(_t, carry):
-                q_sh, vals_c, idx_c = carry
+                q_sh, vals_c, col_c, idx_c = carry
                 v_t, il_t = tile_topk(q_sh)
                 i_t = to_global(il_t, i)  # refs are THIS device's tile
+                # column key in the all_gather merge's (device, rank)
+                # candidate layout; unique per (query, candidate) across
+                # the whole ring, so (distance, colkey) is a total order
+                c_t = jnp.broadcast_to(
+                    i * kk + jnp.arange(kk, dtype=jnp.int32), il_t.shape
+                )
                 vc = jnp.concatenate([vals_c, v_t.astype(val_dtype)], axis=1)
+                cc = jnp.concatenate([col_c, c_t], axis=1)
                 ic = jnp.concatenate([idx_c, i_t], axis=1)
-                vs_, is_ = jax.lax.sort(
-                    (vc, ic), dimension=1, num_keys=2
+                vs_, cs_, is_ = jax.lax.sort(
+                    (vc, cc, ic), dimension=1, num_keys=2
                 )
                 vals_c = jax.lax.slice_in_dim(vs_, 0, k_merge, axis=1)
+                col_c = jax.lax.slice_in_dim(cs_, 0, k_merge, axis=1)
                 idx_c = jax.lax.slice_in_dim(is_, 0, k_merge, axis=1)
                 return tuple(
                     jax.lax.ppermute(x, axis_name, perm)
-                    for x in (q_sh, vals_c, idx_c)
+                    for x in (q_sh, vals_c, col_c, idx_c)
                 )
 
             init = (
                 q_shard,
                 jnp.full((S_loc, k_merge), jnp.inf, val_dtype),
+                jnp.full(
+                    (S_loc, k_merge), jnp.iinfo(jnp.int32).max, jnp.int32
+                ),
                 jnp.zeros((S_loc, k_merge), jnp.int32),
             )
-            _, _, idx_home = jax.lax.fori_loop(
+            _, _, _, idx_home = jax.lax.fori_loop(
                 0, n_devices, ring_body, init
             )
             # ndev compute+rotate rounds bring each shard home with its

@@ -1,10 +1,15 @@
-"""Measure Spearman(radius_ref, radius_tpu) directly (VERDICT r2 #5).
+"""Spearman-vs-reference regression gate (BASELINE.json >= 0.98 target).
 
-BASELINE.json's ">= 0.98 Spearman vs reference behavior" target had only
-been argued from step-level allclose parity; this runs the reference
-PyTorch-CPU engine (/root/reference) and the TPU engine side by side at
-the BASELINE configs and reports the actual radius-vs-radius rank
-correlation.
+Runs the reference PyTorch-CPU engine (/root/reference) and the TPU
+engine side by side and reports Spearman(radius_ref, radius_tpu) — the
+rank correlation of the two engines' radial-centrality outputs, which is
+what every downstream consumer ranks on (reference influence.py:10-37
+seed selection, benchmark.py:166-243 correlation suite).
+
+Promoted from experiments/spearman_vs_ref_r3.py (round-3 one-off) to a
+committed, one-command regression: any step-math change that drifts the
+trajectory shows up here before it ships. Exits nonzero if any config
+lands under the 0.98 bar.
 
 Controls (SURVEY §7.2 M0 parity discipline):
 - identical adjacency (our generators feed both ctors),
@@ -19,9 +24,19 @@ Controls (SURVEY §7.2 M0 parity discipline):
   _compute_knn_chunked).
 
 So the only divergence left is accumulated fp32 arithmetic differences
-(XLA fused ops vs torch kernels) — exactly what the target bounds.
+(XLA fused ops vs torch kernels) plus approximate-kNN recall on the
+production strategies — exactly what the target bounds.
 
-Usage: python experiments/spearman_vs_ref_r3.py [--quick]
+Configs (>= 5, per VERDICT r3 #3):
+  1. ER n=1000, d=3, 50 iters      — exact-strategy tier
+  2. RR n=10K deg 8, d=3, 30 iters — binfold tier (TPU production path)
+  3. ER n=1000, d=2, 50 iters      — native-2D intersection geometry
+  4. BA n=5000 m=5, d=3, 30 iters  — skewed/hub degree distribution
+                                     (table-cap overflow machinery)
+  5. ER n=2000, d=3, 120 iters     — long-horizon drift accumulation
+  6. SBM n=100K, d=3, 20 iters     — large tier (skipped with --quick)
+
+Usage: python scripts/spearman_vs_reference.py [--quick]
 """
 
 import os
@@ -29,11 +44,13 @@ import sys
 import time
 import types
 
-sys.path.insert(0, "/root/repo")  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # noqa: E501
 os.environ.setdefault("GRAPHEM_RAPIDS_QUIET", "true")
 
 import numpy as np
 from scipy.stats import spearmanr
+
+BAR = 0.98
 
 
 def _stub(name, **attrs):
@@ -88,17 +105,18 @@ def inject_reference_samples(ref_emb, sample_iter):
     ref_emb._locate_knn_midpoints = _locate
 
 
-def run_config(name, adj, iters, force, RefCls, gr):
+def run_config(name, adj, iters, force, RefCls, gr, n_components=3):
     E = adj.nnz // 2
     S = min(force["sample_size"], E)
-    print(f"\n[{name}] n={adj.shape[0]} E={E} iters={iters}", flush=True)
+    print(f"\n[{name}] n={adj.shape[0]} E={E} d={n_components} "
+          f"iters={iters}", flush=True)
 
     t0 = time.perf_counter()
-    ref = RefCls(adj, n_components=3, device="cpu", verbose=False, seed=0,
-                 **force)
+    ref = RefCls(adj, n_components=n_components, device="cpu",
+                 verbose=False, seed=0, **force)
     pos0 = np.array(ref.positions, dtype=np.float32)
     tpu = gr.GraphEmbedderTPU(
-        adj, n_components=3, seed=0, verbose=False, **force,
+        adj, n_components=n_components, seed=0, verbose=False, **force,
     )
     tpu.positions = pos0  # identical init (kills eigsh sign/order noise)
     print(f"  init {time.perf_counter()-t0:.1f}s "
@@ -129,7 +147,7 @@ def run_config(name, adj, iters, force, RefCls, gr):
     print(f"  ref {t_ref:.1f}s, tpu {t_tpu:.1f}s", flush=True)
     print(f"  Spearman(radius_ref, radius_tpu) = {rho:.4f}  "
           f"relative position drift = {drift:.2e}", flush=True)
-    return rho
+    return rho, drift
 
 
 def main():
@@ -142,29 +160,53 @@ def main():
     rows = []
 
     adj = gr.erdos_renyi_graph(n=1000, p=0.01, seed=7)
-    rows.append(("config1 ER n=1000 p=0.01, 50 iters",
-                 run_config("config 1: ER n=1000", adj, 50, force,
-                            RefCls, gr)))
+    rows.append(("config1 ER n=1000 p=0.01, d=3, 50 iters",
+                 *run_config("config 1: ER n=1000", adj, 50, force,
+                             RefCls, gr)))
 
     f2 = dict(force, n_neighbors=10)
     adj = gr.generate_random_regular(n=10_000, d=8, seed=7)
-    rows.append(("config2 random-regular n=10K deg=8, 30 iters",
-                 run_config("config 2: RR n=10K", adj, 30, f2,
-                            RefCls, gr)))
+    rows.append(("config2 random-regular n=10K deg=8, d=3, 30 iters",
+                 *run_config("config 2: RR n=10K", adj, 30, f2,
+                             RefCls, gr)))
+
+    adj = gr.erdos_renyi_graph(n=1000, p=0.01, seed=9)
+    rows.append(("config3 ER n=1000 p=0.01, d=2, 50 iters",
+                 *run_config("config 3: ER n=1000 d=2", adj, 50, force,
+                             RefCls, gr, n_components=2)))
+
+    adj = gr.generate_ba(n=5000, m=5, seed=7)
+    rows.append(("config4 BA n=5000 m=5 (hub degrees), d=3, 30 iters",
+                 *run_config("config 4: BA n=5000 hubs", adj, 30, force,
+                             RefCls, gr)))
+
+    adj = gr.erdos_renyi_graph(n=2000, p=0.01, seed=11)
+    rows.append(("config5 ER n=2000 p=0.01, d=3, 120 iters",
+                 *run_config("config 5: ER n=2000 long", adj, 120, force,
+                             RefCls, gr)))
 
     if not quick:
         adj = gr.generate_sbm(
             n_per_block=25_000, num_blocks=4, p_in=0.0004, p_out=0.00002,
             seed=7,
         )
-        rows.append(("config3 SBM n=100K, 20 iters",
-                     run_config("config 3: SBM n=100K", adj, 20, force,
-                                RefCls, gr)))
+        rows.append(("config6 SBM n=100K, d=3, 20 iters",
+                     *run_config("config 6: SBM n=100K", adj, 20, force,
+                                 RefCls, gr)))
 
-    print("\n| config | Spearman(radius_ref, radius_tpu) |", flush=True)
-    print("|---|---|", flush=True)
-    for name, rho in rows:
-        print(f"| {name} | {rho:.4f} |", flush=True)
+    print("\n| config | Spearman(radius_ref, radius_tpu) | rel. drift |",
+          flush=True)
+    print("|---|---|---|", flush=True)
+    ok = True
+    for name, rho, drift in rows:
+        flag = "" if rho >= BAR else "  **UNDER BAR**"
+        ok &= rho >= BAR
+        print(f"| {name} | {rho:.4f}{flag} | {drift:.2e} |", flush=True)
+    if not ok:
+        print(f"\nFAIL: at least one config under the {BAR} bar",
+              flush=True)
+        sys.exit(1)
+    print(f"\nPASS: all {len(rows)} configs >= {BAR}", flush=True)
 
 
 if __name__ == "__main__":

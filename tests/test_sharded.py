@@ -525,6 +525,76 @@ def test_ring_matches_single_chip():
 
 
 @pytest.mark.fast
+@pytest.mark.parametrize("variant", ["unfused", "fused", "binned"])
+def test_ring_matches_all_gather_200_iters_with_ties(variant):
+    """Ring merge must stay bitwise-equal to the all_gather merge over a
+    LONG run on a graph WITH duplicate midpoints. Twin vertices (same
+    neighbor set) pinned to identical positions make every incident edge
+    midpoint an exact duplicate, so kNN distance ties are guaranteed —
+    the merge's tie-break then decides WHICH edge id wins, and that
+    choice scatters repulsion to different endpoints (trajectory
+    divergence). The ring carries the all_gather merge's (device, rank)
+    column key as its tie-break key, so both tiers make the same choice.
+    The fused/binned variants matter most: their to_global maps
+    interleave devices in the global ref space (per-bucket segments,
+    shared overflow block), so the round-3 (distance, global ref index)
+    lex tie-break disagreed with all_gather's stable-top_k device order
+    there (rel drift ~1.4 over 200 iters — BASELINE.md r3)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(11)
+    n0 = 60
+    base = sorted({(min(a, b), max(a, b))
+                   for a, b in rng.integers(0, n0, (240, 2)) if a != b})
+    # a hub forces a skewed degree histogram -> multi-bucket binned plan
+    base = sorted(set(base) | {(0, j) for j in range(1, 40)})
+    twins = list(range(20))  # vertex n0+t duplicates vertex t's edges
+    e2 = list(base)
+    for t, v in enumerate(twins):
+        tv = n0 + t
+        for a, b in base:
+            if a == v:
+                e2.append((min(tv, b), max(tv, b)))
+            elif b == v:
+                e2.append((min(tv, a), max(tv, a)))
+    n = n0 + len(twins)
+    e2 = np.unique(np.array(e2, np.int64), axis=0)
+    adj = sp.coo_matrix(
+        (np.ones(len(e2)), (e2[:, 0], e2[:, 1])), shape=(n, n)
+    ).tocsr()
+    adj = adj + adj.T
+    adj.data[:] = 1
+
+    kw = dict(n_components=2, seed=5, verbose=False, sample_size=64,
+              n_neighbors=6)
+    if variant in ("fused", "binned"):
+        kw["fused_midpoints"] = True
+    if variant == "binned":
+        kw["binned_table"] = True
+    gather = ShardedGraphEmbedder(adj, mesh=make_mesh(4), **kw)
+    ring = ShardedGraphEmbedder(adj, mesh=make_mesh(4), knn_comm="ring",
+                                **kw)
+    if variant in ("fused", "binned"):
+        assert gather._fused_refs_active and ring._fused_refs_active
+    p0 = np.array(gather.positions)
+    for t, v in enumerate(twins):
+        p0[n0 + t] = p0[v]
+    gather.positions = p0
+    ring.positions = p0
+    # sanity: the pinned layout really produces duplicate midpoints
+    mids = (p0[e2[:, 0]] + p0[e2[:, 1]]) / 2
+    assert len(np.unique(mids, axis=0)) < len(mids)
+    for it in range(200):
+        gather.update_positions()
+        ring.update_positions()
+        if it % 50 == 49:
+            np.testing.assert_array_equal(
+                ring.positions, gather.positions,
+                err_msg=f"diverged by iteration {it + 1}",
+            )
+
+
+@pytest.mark.fast
 def test_ring_with_approx_local():
     """Ring merge composed with the approx_min_k local top-k (the TPU
     production shape) compiles and stays finite on the CPU mesh."""
