@@ -166,12 +166,15 @@ def main():
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--check", action="store_true",
                     help="interpret-mode correctness check on CPU")
+    ap.add_argument("--skip-xla", action="store_true",
+                    help="skip the XLA baseline variants")
     args = ap.parse_args()
 
     if args.check:
         check_interpret()
         return
 
+    args.rows -= args.rows % (512 * 64)  # block x max G divisibility
     rng = np.random.default_rng(0)
     idx = jnp.asarray(
         rng.integers(0, args.n - 64, args.rows, dtype=np.int32)
@@ -180,12 +183,13 @@ def main():
     print(f"n={args.n}  gathered rows={args.rows}  reps={args.reps}",
           flush=True)
 
-    for d_pad in (3, 8, 128):
-        pos = jnp.asarray(
-            rng.standard_normal((args.n, d_pad), dtype=np.float32)
-        )
-        timeit(f"A. XLA gather pos[idx]            d_pad={d_pad}",
-               lambda p, i: p[i], pos, idx, reps=args.reps)
+    if not args.skip_xla:
+        for d_pad in (3, 8, 128):
+            pos = jnp.asarray(
+                rng.standard_normal((args.n, d_pad), dtype=np.float32)
+            )
+            timeit(f"A. XLA gather pos[idx]            d_pad={d_pad}",
+                   lambda p, i: p[i], pos, idx, reps=args.reps)
 
     pos8 = jnp.asarray(rng.standard_normal((args.n, 8), dtype=np.float32))
     for n_buf in (4, 16):
