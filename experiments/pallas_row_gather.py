@@ -61,13 +61,12 @@ def row_gather_pallas(positions, idx, block=512, n_buf=8, rows_per_dma=1,
         cp.wait()
 
         def get_dma(slot, r):
-            if G == 1:
-                return pltpu.make_async_copy(
-                    pos_ref.at[idx_smem[r]], out_ref.at[r], sem.at[slot]
-                )
+            # 2D (rows, :) slice form required: 1D row slices crash this
+            # toolchain's Mosaic even at 128 lanes (compile probe P2 vs
+            # P7 in rowgather_compile_probes.py)
             return pltpu.make_async_copy(
-                pos_ref.at[pl.ds(idx_smem[r], G)],
-                out_ref.at[pl.ds(r * G, G)],
+                pos_ref.at[pl.ds(idx_smem[r], G), :],
+                out_ref.at[pl.ds(r * G, G), :],
                 sem.at[slot],
             )
 
@@ -191,15 +190,23 @@ def main():
             timeit(f"A. XLA gather pos[idx]            d_pad={d_pad}",
                    lambda p, i: p[i], pos, idx, reps=args.reps)
 
-    pos8 = jnp.asarray(rng.standard_normal((args.n, 8), dtype=np.float32))
+    # d_pad=128: Mosaic on this toolchain REQUIRES 128-lane rows for
+    # ANY-space row DMAs — narrower rows (d_pad=8) crash the remote
+    # compiler in every addressing mode, 128-lane rows compile in every
+    # mode including data-dependent (experiments/rowgather_compile_probes
+    # P7 matrix). 512 B/row also matches the XLA gather's effective
+    # transaction size, so ns/row is apples-to-apples with variant A.
+    pos128 = jnp.asarray(
+        rng.standard_normal((args.n, 128), dtype=np.float32)
+    )
     for n_buf in (4, 16):
         try:
             timeit(
-                f"B. pallas 1-row DMAs  d_pad=8     n_buf={n_buf}",
+                f"B. pallas 1-row DMAs  d_pad=128   n_buf={n_buf}",
                 lambda p, i, nb=n_buf: row_gather_pallas(
                     p, i, block=512, n_buf=nb
                 ),
-                pos8, idx, reps=args.reps,
+                pos128, idx, reps=args.reps,
             )
         except Exception as e:
             print(f"B. n_buf={n_buf} FAILED: {type(e).__name__}: "
@@ -210,11 +217,11 @@ def main():
         sub = idx[: args.rows // G]
         try:
             timeit(
-                f"C. pallas {G}-row DMAs d_pad=8    n_buf=16",
+                f"C. pallas {G}-row DMAs d_pad=128  n_buf=16",
                 lambda p, i, g=G: row_gather_pallas(
                     p, i, block=512, n_buf=16, rows_per_dma=g
                 ),
-                pos8, sub, reps=args.reps, per_rows=G,
+                pos128, sub, reps=args.reps, per_rows=G,
             )
         except Exception as e:
             print(f"C. G={G} FAILED: {type(e).__name__}: {str(e)[:300]}",
