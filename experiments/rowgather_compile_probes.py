@@ -478,3 +478,101 @@ def main_hbm():
     run("P10 g1 b256", lambda: _hbm_out_probe(1, 256))
     run("P10 g4 b512", lambda: _hbm_out_probe(4, 512))
     run("P10 g1 ib16", lambda: _hbm_out_probe(1, 512, inner_blocks=16))
+
+
+def time_working_shape():
+    """Chained-reps timing of the one compilable+runnable envelope
+    (grid=1, single block, HBM->HBM row DMAs). Two block sizes separate
+    per-launch overhead from per-row cost:
+        ns/row = (t_b2 - t_b1) / (b2 - b1)
+    """
+    import functools
+    import time as _t
+
+    DPW = 128
+    N_big = 1_000_000
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.standard_normal((N_big, DPW), dtype=np.float32))
+
+    def one_call(blk):
+        def kernel(idx_hbm, pos_ref, out_ref, idx_smem, sem_i, sem):
+            cp = pltpu.make_async_copy(idx_hbm.at[pl.ds(0, blk)],
+                                       idx_smem, sem_i)
+            cp.start()
+            cp.wait()
+
+            def dma(r, slot):
+                return pltpu.make_async_copy(
+                    pos_ref.at[pl.ds(idx_smem[r], 1), :],
+                    out_ref.at[pl.ds(r, 1), :], sem.at[slot],
+                )
+
+            for k in range(8):
+                dma(k, k).start()
+
+            def body(r, c2):
+                dma(r, r % 8).wait()
+
+                @pl.when(r + 8 < blk)
+                def _():
+                    dma(r + 8, r % 8).start()
+
+                return c2
+
+            jax.lax.fori_loop(0, blk, body, 0)
+
+        def f(idx, pos):
+            return pl.pallas_call(
+                kernel,
+                grid=(1,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                scratch_shapes=[pltpu.SMEM((blk,), jnp.int32),
+                                pltpu.SemaphoreType.DMA(()),
+                                pltpu.SemaphoreType.DMA((8,))],
+                out_shape=jax.ShapeDtypeStruct((blk, DPW), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True),
+            )(idx, pos)
+
+        return f
+
+    REPS = 256
+    results = {}
+    for blk in (128, 256, 512):
+        f = one_call(blk)
+
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chained(idx0, pos_a, reps, f=f, blk=blk):
+            def body(i, carry):
+                idx, acc = carry
+                out = f(idx, pos_a)
+                return (idx + 1) % (N_big - 2), acc + out[0, 0]
+
+            return jax.lax.fori_loop(
+                0, reps, body, (idx0, jnp.float32(0))
+            )[1]
+
+        idx0 = jnp.asarray(
+            rng.integers(0, N_big - 2, blk, dtype=np.int32)
+        )
+        try:
+            float(chained(idx0, pos, reps=REPS))  # compile+warm
+        except Exception as e:
+            print(f"blk={blk} FAILED: {type(e).__name__}", flush=True)
+            continue
+        best = float("inf")
+        for t in range(3):
+            t0 = _t.perf_counter()
+            float(chained(idx0 + t, pos, reps=REPS))
+            best = min(best, (_t.perf_counter() - t0) / REPS)
+        results[blk] = best
+        print(f"blk={blk}: {best*1e6:.1f} us/launch", flush=True)
+    ks = sorted(results)
+    if len(ks) >= 2:
+        b1, b2 = ks[-2], ks[-1]
+        ns_row = (results[b2] - results[b1]) / (b2 - b1) * 1e9
+        print(f"marginal per-row DMA cost: {ns_row:.2f} ns/row "
+              f"(launch overhead ~{results[b1]*1e6:.1f} us at blk={b1})",
+              flush=True)
