@@ -67,7 +67,6 @@ def main():
 
     nb = emb._nb
     ops = emb._step_ops
-    pos0 = emb._positions
     k_attr, L_min = emb.k_attr, emb.L_min
     E, S = emb.n_edges, emb.sample_size
     k_eff = min(emb.n_neighbors + 1, E)
@@ -86,12 +85,20 @@ def main():
             return None
         return {**t_ops["ov_plan"], "block": ov_plan["block"]}
 
-    # ---- E. full step ---- #
+    # ---- E. full step (single-step dispatches: the 50-step fori OOMs
+    # at this scale, and run_layout's return would fetch the full 360 MB
+    # positions per call — bench_30m.py methodology) ---- #
     def full(seed):
-        emb.run_layout(num_iterations=LOOP, block_size=LOOP)
+        for _ in range(LOOP):
+            emb._positions, emb._key = emb._step(
+                emb._positions, emb._key, emb._step_ops
+            )
         return np.asarray(emb._positions[:2])
 
     timed("E. full step", full)
+    # _step DONATES positions; grab the live buffer after the phase for
+    # the (undonated) phase loops below
+    pos0 = emb._positions
 
     # ---- A. per-slot gathers only ---- #
     @jax.jit
