@@ -60,7 +60,9 @@ def main():
     t0 = time.perf_counter()
     import os
 
-    binned = os.environ.get("BENCH30M_BINNED", "0") == "1"
+    # default now matches the production default (binned): the r3 run
+    # accidentally measured the flat config at 2x the step time
+    binned = os.environ.get("BENCH30M_BINNED", "1") == "1"
     strat = os.environ.get("BENCH30M_STRATEGY", "auto")
     emb = gr.GraphEmbedderTPU(
         adj, n_components=3, seed=0, verbose=False, init="random",
