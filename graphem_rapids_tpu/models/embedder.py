@@ -48,12 +48,16 @@ logger = logging.getLogger(__name__)
 
 EPS = 1e-6
 
-# Auto threshold for the slot-major ref layout (ref_order=None on TPU):
-# at 10M vertices the row-major program compiles and runs (BASELINE.md),
-# at 30M its cap-minor lane-padded temps exceed HBM at compile time, so
-# the auto switch sits between the two until slotwise is measured at the
-# mid tiers.
-SLOT_REF_ORDER_MIN_N = 16_000_000
+# Auto threshold for the slot-major ref layout (ref_order=None on TPU).
+# Round-4 A/Bs measured slot-major FASTER at every tier, not just the
+# >=30M compile-forced one: 100K 6.13 -> 4.38 ms/iter (1.40x), 1M 73.0
+# -> 57.8 (1.26x), 10M 960.7 -> 683.4 (1.41x) — the per-slot 2D (n, d)
+# gathers both beat the row-major (count, cap) gather's ns/row and feed
+# the binfold kernel's (d, E_pad) layout without the per-segment
+# pad+transpose (BASELINE.md round-4 A/B table). The floor below skips
+# only small/interactive graphs, where the per-slot unrolled gathers
+# cost extra compile time (~+60 s at 100K) for microseconds of step.
+SLOT_REF_ORDER_MIN_N = 100_000
 
 
 class GraphEmbedderTPU:
@@ -119,11 +123,12 @@ class GraphEmbedderTPU:
     ref_order : {'row', 'slot'}, optional
         Flattened kNN ref-space enumeration and table orientation
         (ops/forces.py build_neighbor_table*). None (default) picks
-        'slot' on TPU above SLOT_REF_ORDER_MIN_N vertices: the
-        slot-major order lets the step build spring forces and midpoint
-        refs from per-slot 2D blocks, avoiding the cap-minor temps
-        whose 16x lane padding blocked the 30M-vertex compile
-        (BASELINE.md round 3).
+        'slot' on TPU from SLOT_REF_ORDER_MIN_N vertices: the
+        slot-major order builds spring forces and midpoint refs from
+        per-slot 2D blocks — measured 1.26-1.41x faster per step at
+        every tier 100K-10M (BASELINE.md round-4 A/B) — and avoids the
+        cap-minor temps whose 16x lane padding blocked the 30M-vertex
+        compile (BASELINE.md round 3).
     memory_efficient : bool, default=True
         Kept for API compatibility; chunked strategies are always available.
     verbose : bool, default=True
