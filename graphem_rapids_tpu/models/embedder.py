@@ -143,9 +143,17 @@ class GraphEmbedderTPU:
     # Subclasses that consume the flat neighbor table directly (the
     # sharded mesh tier) opt out of the degree-binned structure.
     _wants_binned_table = True
-    # The sharded tier's per-device ref tiles assume row-major slot
-    # enumeration; it opts out of the slot-major layout.
+    # Whether the engine can consume the slot-major ref layout; both
+    # tiers can since round 4 (the sharded tier gained slot_order
+    # branches in parallel/sharded_step.py).
     _supports_slot_order = True
+
+    def _ref_order_platform(self):
+        """Platform that decides the auto ref_order: the COMPUTE
+        platform. The sharded tier overrides this with its mesh's
+        platform (self.device can be a TPU while the mesh is the
+        virtual CPU test mesh)."""
+        return self.device.platform
     # Whether the neighbor-table builders place their arrays on device.
     # The sharded tier sets False: it pads/reshapes the tables host-side
     # in build_sharded_step before a single device placement, and a
@@ -260,7 +268,7 @@ class GraphEmbedderTPU:
                 ref_order = (
                     "slot"
                     if (self._supports_slot_order
-                        and self.device.platform == "tpu"
+                        and self._ref_order_platform() == "tpu"
                         and self.n >= SLOT_REF_ORDER_MIN_N)
                     else "row"
                 )

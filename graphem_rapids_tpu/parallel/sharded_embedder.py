@@ -36,9 +36,12 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
     # default now matches the single-chip tier's choice). Pass
     # binned_table=False to force the flat sliced table.
     _wants_binned_table = True
-    # per-device ref tiles reshape the flat ref space (count, ref_cap)
-    # row-major (sharded_step.py); the slot-major layout is single-chip
-    _supports_slot_order = False
+    # slot-major ref tiles supported since round 4 (sharded_step.py
+    # slot_order branches: transposed tables column-sharded, per-slot
+    # gathers + fold, slot-major local/global ref enumeration) — the
+    # same auto threshold as the single-chip engine applies
+    # (SLOT_REF_ORDER_MIN_N; 1.26-1.41x per step, BASELINE.md r4)
+    _supports_slot_order = True
     # neighbor tables stay host-side until build_sharded_step pads them
     # (models/embedder.py _nb_to_device — avoids a device round-trip of
     # the full table bytes through the TPU tunnel at init)
@@ -58,6 +61,12 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
 
     def _resolved_strategy(self):
         return "sharded"
+
+    def _ref_order_platform(self):
+        # the auto ref_order must track the MESH's platform, not
+        # self.device: on this host self.device resolves to the TPU
+        # even when the embedder runs on a virtual CPU test mesh
+        return self.mesh.devices.flat[0].platform
 
     def _init_mesh(self):
         # single-process meshes only: the sharded Chebyshev runner feeds

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.forces import (
+    REF_PAD_VALUE,
     apply_overflow_plan,
     intersection_forces,
     masked_slot_midpoints,
@@ -181,6 +182,14 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     # process (measured single-chip, models/embedder.py _build_step).
     step_ops = {}
     binned = nb is not None and "buckets" in nb
+    # slot-major ref layout (ops/forces.py ref_order='slot'): tables ride
+    # TRANSPOSED ((cap, count) per bucket / (D, n) flat) and the body
+    # walks them one slot row at a time — per-slot (loc,)-row gathers +
+    # sequential fold, the layout the single-chip engine defaults to on
+    # TPU since round 4 (1.26-1.41x per step, BASELINE.md round-4 A/B).
+    # The local and global ref enumerations become slot-major (per
+    # bucket: s*loc + p locally, roff + s*pad + dev*loc + p globally).
+    slot_order = nb is not None and nb.get("ref_order") == "slot"
     if binned:
         # ---- degree-binned tables, bucket-row-sharded (opt-in) ------- #
         # Each bucket's (count_g, cap_g) table is row-padded to a
@@ -201,12 +210,20 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             })
         btables, bowns = [], []
         for gm, b in zip(geoms, nb["buckets"]):
-            t = np.asarray(b["table"])
-            if gm["pad"] != gm["count"]:
-                t = np.concatenate([
-                    t, np.full((gm["pad"] - gm["count"], gm["cap"]),
-                               gm["start"], np.int32)
-                ])
+            if slot_order:
+                t = np.asarray(b["table_t"])  # (cap, count)
+                if gm["pad"] != gm["count"]:
+                    t = np.concatenate([
+                        t, np.full((gm["cap"], gm["pad"] - gm["count"]),
+                                   gm["start"], np.int32)
+                    ], axis=1)
+            else:
+                t = np.asarray(b["table"])
+                if gm["pad"] != gm["count"]:
+                    t = np.concatenate([
+                        t, np.full((gm["pad"] - gm["count"], gm["cap"]),
+                                   gm["start"], np.int32)
+                    ])
             btables.append(jnp.asarray(t))
             # pv rows are CONTIGUOUS (internal ids are degree-sorted, so
             # each device's bucket shard is a row range): the body uses
@@ -261,19 +278,42 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                 rc, cnt, loc = gm["rc"], gm["count"], gm["loc"]
                 if rc == 0:
                     continue
-                rv = ref_valid_all[ref_off:ref_off + cnt * rc].reshape(
-                    cnt, rc
-                )
-                re = ref_edge_all[ref_off:ref_off + cnt * rc].reshape(
-                    cnt, rc
-                )
-                if gm["pad"] != cnt:
-                    z = gm["pad"] - cnt
-                    rv = np.concatenate([rv, np.zeros((z, rc), bool)])
-                    re = np.concatenate([re, np.zeros((z, rc), np.int32)])
+                if slot_order:
+                    # slot-major enumeration (s*cnt + p per bucket):
+                    # reshape to (rc, cnt), pad COLUMNS; global padded
+                    # slot index = roff + s*pad + row
+                    rv = ref_valid_all[ref_off:ref_off + cnt * rc].reshape(
+                        rc, cnt
+                    )
+                    re = ref_edge_all[ref_off:ref_off + cnt * rc].reshape(
+                        rc, cnt
+                    )
+                    if gm["pad"] != cnt:
+                        z = gm["pad"] - cnt
+                        rv = np.concatenate(
+                            [rv, np.zeros((rc, z), bool)], axis=1
+                        )
+                        re = np.concatenate(
+                            [re, np.zeros((rc, z), np.int32)], axis=1
+                        )
+                else:
+                    rv = ref_valid_all[ref_off:ref_off + cnt * rc].reshape(
+                        cnt, rc
+                    )
+                    re = ref_edge_all[ref_off:ref_off + cnt * rc].reshape(
+                        cnt, rc
+                    )
+                    if gm["pad"] != cnt:
+                        z = gm["pad"] - cnt
+                        rv = np.concatenate([rv, np.zeros((z, rc), bool)])
+                        re = np.concatenate(
+                            [re, np.zeros((z, rc), np.int32)]
+                        )
                 bref_valid.append(jnp.asarray(rv))
                 re_parts.append(re.reshape(-1))
-                seg_meta.append((seg_off, loc * rc, roff))
+                seg_meta.append(
+                    (seg_off, loc * rc, roff, loc, gm["pad"])
+                )
                 seg_off += loc * rc
                 roff += gm["pad"] * rc
                 ref_off += cnt * rc
@@ -296,13 +336,23 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     elif nb is not None:
         n_loc = (n + n_devices - 1) // n_devices
         n_pad = n_loc * n_devices
-        table = nb["table"]
-        D_tbl = table.shape[1]
-        # pad rows (vertices >= n) gather garbage that the final [:n]
-        # slice discards; index 0 keeps them in bounds
-        step_ops["table_pad"] = jnp.concatenate(
-            [jnp.asarray(table), jnp.zeros((n_pad - n, D_tbl), jnp.int32)]
-        ) if n_pad != n else jnp.asarray(table)
+        if slot_order:
+            table_t = np.asarray(nb["table_t"])  # (D, n)
+            D_tbl = table_t.shape[0]
+            # pad COLUMNS (vertices >= n): index 0 keeps them in bounds;
+            # the [:n] slice after the all_gather drops their output
+            step_ops["table_t_pad"] = jnp.asarray(np.concatenate(
+                [table_t, np.zeros((D_tbl, n_pad - n), np.int32)], axis=1
+            )) if n_pad != n else jnp.asarray(table_t)
+        else:
+            table = nb["table"]
+            D_tbl = table.shape[1]
+            # pad rows (vertices >= n) gather garbage that the final [:n]
+            # slice discards; index 0 keeps them in bounds
+            step_ops["table_pad"] = jnp.concatenate(
+                [jnp.asarray(table),
+                 jnp.zeros((n_pad - n, D_tbl), jnp.int32)]
+            ) if n_pad != n else jnp.asarray(table)
         # pv rows are contiguous — the body slices positions directly; an
         # index array is kept only when the padded range overruns n (see
         # the binned-branch note)
@@ -336,22 +386,41 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             )
         if fused_refs:
             SL = n_loc * ref_cap  # per-device slot-ref count (static)
-            rv = np.asarray(nb["ref_valid"]).reshape(n, ref_cap)
-            if n_pad != n:
-                rv = np.concatenate(
-                    [rv, np.zeros((n_pad - n, ref_cap), bool)]
-                )
+            if slot_order:
+                # slot-major flat enumeration (s*n + v): reshape to
+                # (ref_cap, n), pad COLUMNS; global padded slot index =
+                # s*n_pad + v
+                rv = np.asarray(
+                    nb["ref_valid"][:n * ref_cap]
+                ).reshape(ref_cap, n)
+                re_slots = np.asarray(
+                    nb["ref_edge"][:n * ref_cap]
+                ).reshape(ref_cap, n)
+                if n_pad != n:
+                    rv = np.concatenate(
+                        [rv, np.zeros((ref_cap, n_pad - n), bool)], axis=1
+                    )
+                    re_slots = np.concatenate(
+                        [re_slots,
+                         np.zeros((ref_cap, n_pad - n), np.int32)], axis=1
+                    )
+            else:
+                rv = np.asarray(nb["ref_valid"]).reshape(n, ref_cap)
+                re_slots = np.asarray(
+                    nb["ref_edge"][:n * ref_cap]
+                ).reshape(n, ref_cap)
+                if n_pad != n:
+                    rv = np.concatenate(
+                        [rv, np.zeros((n_pad - n, ref_cap), bool)]
+                    )
+                    re_slots = np.concatenate(
+                        [re_slots,
+                         np.zeros((n_pad - n, ref_cap), np.int32)]
+                    )
             step_ops["ref_valid_pad"] = jnp.asarray(rv)
             # padded slot->edge map: vertex-pad slots map to edge 0 (they
             # sit at REF_PAD distance, never selected on non-degenerate
             # graphs); overflow refs live at [n_pad*ref_cap, +O2)
-            re_slots = np.asarray(nb["ref_edge"][:n * ref_cap]).reshape(
-                n, ref_cap
-            )
-            if n_pad != n:
-                re_slots = np.concatenate(
-                    [re_slots, np.zeros((n_pad - n, ref_cap), np.int32)]
-                )
             re_pad = np.concatenate(
                 [re_slots.reshape(-1),
                  np.asarray(nb["ref_edge"][n * ref_cap:])]
@@ -397,6 +466,16 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         start = (i * loc,) + (0,) * len(axis0_extra)
         return jax.lax.dynamic_slice(x, start, (loc,) + tuple(axis0_extra))
 
+    def shard_slice_cols(x, i, loc):
+        """Column shard of a 2D array — the slot-major tables/ref-valid
+        ride transposed ((cap, pad) / (rc, pad)), so the device axis is
+        axis 1."""
+        if n_devices == 1:
+            return x
+        return jax.lax.dynamic_slice(
+            x, (0, i * loc), (x.shape[0], loc)
+        )
+
     def sharded_body(positions, edges_full, valid_full, key, ops,
                      inject_sample=False):
         i = jax.lax.axis_index(axis_name)
@@ -411,7 +490,77 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             p1 = positions[edges_loc[:, 0]]
             p2 = positions[edges_loc[:, 1]]
 
-        if binned:
+        mids_slot = []  # fused-ref midpoint blocks (slot-order branches)
+        if binned and slot_order:
+            # ---- spring: slot-major bucket tables, per-slot gathers -- #
+            # The single-chip slotwise formulation (ops/forces.py
+            # spring_refs_binned_slotwise) on each device's column shard:
+            # one (loc_g,)-row gather per table slot, sequential fold,
+            # midpoint blocks for the fused ref tile emitted in the same
+            # pass. Bucket-COLUMN sharding of the transposed tables owns
+            # the same vertices as the row-major scheme, so pv slices and
+            # the all_gather assembly are unchanged.
+            blocks = []
+            bidx = 0
+            for g, gm in enumerate(geoms):
+                if gm["cap"] == 0:
+                    blocks.append(jnp.zeros(
+                        (gm["count"], positions.shape[1]), positions.dtype
+                    ))
+                    continue
+                tt_loc = shard_slice_cols(ops["btables"][g], i, gm["loc"])
+                if n_devices == 1:
+                    pvg = jax.lax.slice_in_dim(
+                        positions, gm["start"], gm["start"] + gm["count"]
+                    )
+                elif ops["bowns"][g] is None:
+                    pvg = jax.lax.dynamic_slice(
+                        positions,
+                        (gm["start"] + i * gm["loc"], 0),
+                        (gm["loc"], positions.shape[1]),
+                    )
+                else:
+                    owng = shard_slice(ops["bowns"][g], i, gm["loc"])
+                    pvg = positions[owng]
+                rvg = None
+                if fused_refs and gm["rc"] > 0:
+                    rvg = shard_slice_cols(
+                        ops["bref_valid"][bidx], i, gm["loc"]
+                    )
+                acc = jnp.zeros_like(pvg)
+                for s in range(gm["cap"]):
+                    pn_s = positions[tt_loc[s]]
+                    dvs = pn_s - pvg
+                    dds = jnp.linalg.norm(dvs, axis=-1, keepdims=True) + EPS
+                    acc = acc + (-k_attr * (dds - L_min)) * (dvs / dds)
+                    if rvg is not None and s < gm["rc"]:
+                        mids_slot.append(jnp.where(
+                            rvg[s][:, None], (pvg + pn_s) * 0.5,
+                            jnp.asarray(REF_PAD_VALUE, positions.dtype),
+                        ))
+                if fused_refs and gm["rc"] > 0:
+                    bidx += 1
+                blocks.append(jax.lax.all_gather(
+                    acc, axis_name, tiled=True
+                )[:gm["count"]])
+            spring = jnp.concatenate(blocks, axis=0)  # (n, d)
+            if "ov_plan" in step_ops:
+                spring = apply_overflow_plan(
+                    spring, positions,
+                    {**ops["ov_plan"], "block": ov_plan["block"]},
+                    k_attr, L_min,
+                )
+            elif "nb_overflow" in step_ops:
+                nb_overflow = ops["nb_overflow"]
+                pvo = positions[nb_overflow[:, 0]]
+                puo = positions[nb_overflow[:, 1]]
+                do = puo - pvo
+                ddo = jnp.linalg.norm(do, axis=1, keepdims=True) + EPS
+                fo = (-k_attr * (ddo - L_min)) * (do / ddo)
+                spring = spring + jax.ops.segment_sum(
+                    fo, nb_overflow[:, 0], num_segments=n
+                )
+        elif binned:
             # ---- spring: bucket-row-sharded gathers + all_gathers ---- #
             # static unroll over <=8 buckets; identical shapes on every
             # device. pv/pn per bucket are reused by the fused refs below.
@@ -455,6 +604,53 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                     fvg.sum(axis=1), axis_name, tiled=True
                 )[:gm["count"]])
             spring = jnp.concatenate(blocks, axis=0)  # (n, d)
+            if "ov_plan" in step_ops:
+                spring = apply_overflow_plan(
+                    spring, positions,
+                    {**ops["ov_plan"], "block": ov_plan["block"]},
+                    k_attr, L_min,
+                )
+            elif "nb_overflow" in step_ops:
+                nb_overflow = ops["nb_overflow"]
+                pvo = positions[nb_overflow[:, 0]]
+                puo = positions[nb_overflow[:, 1]]
+                do = puo - pvo
+                ddo = jnp.linalg.norm(do, axis=1, keepdims=True) + EPS
+                fo = (-k_attr * (ddo - L_min)) * (do / ddo)
+                spring = spring + jax.ops.segment_sum(
+                    fo, nb_overflow[:, 0], num_segments=n
+                )
+        elif nb is not None and slot_order:
+            # ---- spring: slot-major flat table, per-slot gathers ----- #
+            tt_loc = shard_slice_cols(ops["table_t_pad"], i, n_loc)
+            if n_devices == 1:
+                pv = positions                        # n_loc == n
+            elif ops["own_pad"] is None:
+                pv = jax.lax.dynamic_slice(
+                    positions, (i * n_loc, 0),
+                    (n_loc, positions.shape[1]),
+                )
+            else:
+                pv = positions[shard_slice(ops["own_pad"], i, n_loc)]
+            rv_loc = None
+            if fused_refs:
+                rv_loc = shard_slice_cols(
+                    ops["ref_valid_pad"], i, n_loc
+                )
+            acc = jnp.zeros_like(pv)
+            for s in range(D_tbl):
+                pn_s = positions[tt_loc[s]]
+                dvs = pn_s - pv
+                dds = jnp.linalg.norm(dvs, axis=-1, keepdims=True) + EPS
+                acc = acc + (-k_attr * (dds - L_min)) * (dvs / dds)
+                if rv_loc is not None and s < ref_cap:
+                    mids_slot.append(jnp.where(
+                        rv_loc[s][:, None], (pv + pn_s) * 0.5,
+                        jnp.asarray(REF_PAD_VALUE, positions.dtype),
+                    ))
+            spring = jax.lax.all_gather(
+                acc, axis_name, tiled=True
+            )[:n]
             if "ov_plan" in step_ops:
                 spring = apply_overflow_plan(
                     spring, positions,
@@ -538,7 +734,21 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
         q_mid = (positions[q_edges[:, 0]] + positions[q_edges[:, 1]]) / 2.0
 
         # ---- sharded kNN: local top-(k+1), all_gather, exact merge --- #
-        if fused_refs and binned:
+        if fused_refs and slot_order:
+            # slot-major fused refs: the midpoint blocks were emitted by
+            # the spring pass above in local slot-major enumeration
+            # (bucket-major, then s*loc + p); overflow block on device 0
+            # only, exactly as the row-major branches.
+            mid_loc = jnp.concatenate(mids_slot, axis=0)  # (SL, d)
+            if O2:
+                mid_loc = jnp.concatenate([
+                    mid_loc,
+                    overflow_midpoints(
+                        positions, ops["overflow_lt"], active=(i == 0)
+                    ),
+                ], axis=0)
+            R_loc = SL + O2
+        elif fused_refs and binned:
             # binned fused refs: per-bucket slot midpoints from the spring
             # gathers above (same layout as ops/forces.py
             # midpoint_refs_binned, row-sharded); pads/j>i masked to
@@ -648,26 +858,41 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
             device `dev` (the device that owns the tile)."""
             if fused_refs and binned:
                 # local slot -> global padded-ref index, per bucket
-                # segment: device dev owns rows [dev*loc_g, (dev+1)*loc_g)
-                # of bucket g, so local (seg_off_g + r) maps to
-                # roff_g + dev*seg_len_g + r; the shared overflow block
-                # lives at [G_total, +O2). Static unroll over <=8 segments.
+                # segment. Row-major: device dev owns rows
+                # [dev*loc_g, (dev+1)*loc_g) of bucket g, so local
+                # (seg_off_g + r) maps to roff_g + dev*seg_len_g + r.
+                # Slot-major: local (seg_off_g + s*loc_g + p) maps to
+                # roff_g + s*pad_g + dev*loc_g + p. The shared overflow
+                # block lives at [G_total, +O2). Static unroll over <=8
+                # segments.
                 idx_glob = idx_t - SL + G_total  # overflow default
-                for seg_off_g, seg_len_g, roff_g in seg_meta:
+                for seg_off_g, seg_len_g, roff_g, loc_g, pad_g in seg_meta:
                     in_seg = (idx_t >= seg_off_g) & (
                         idx_t < seg_off_g + seg_len_g
                     )
-                    idx_glob = jnp.where(
-                        in_seg,
-                        idx_t - seg_off_g + roff_g + dev * seg_len_g,
-                        idx_glob,
-                    )
+                    if slot_order:
+                        u = idx_t - seg_off_g
+                        cand = (
+                            roff_g + (u // loc_g) * pad_g
+                            + dev * loc_g + (u % loc_g)
+                        )
+                    else:
+                        cand = idx_t - seg_off_g + roff_g + dev * seg_len_g
+                    idx_glob = jnp.where(in_seg, cand, idx_glob)
                 return idx_glob
             if fused_refs:
-                # local slot j -> global padded-ref index: device slots
-                # are vertex-major (device dev owns slots
-                # [dev*SL, (dev+1)*SL)); the shared overflow block lives
-                # at [n_pad*ref_cap, +O2)
+                # flat table. Row-major: device slots are vertex-major
+                # (device dev owns slots [dev*SL, (dev+1)*SL)).
+                # Slot-major: local (s*n_loc + p) -> s*n_pad + dev*n_loc
+                # + p. The shared overflow block lives at
+                # [n_pad*ref_cap, +O2).
+                if slot_order:
+                    return jnp.where(
+                        idx_t < SL,
+                        (idx_t // n_loc) * n_pad + dev * n_loc
+                        + (idx_t % n_loc),
+                        idx_t - SL + n_pad * ref_cap,
+                    )
                 return jnp.where(
                     idx_t < SL,
                     idx_t + dev * SL,

@@ -525,6 +525,79 @@ def test_ring_matches_single_chip():
 
 
 @pytest.mark.fast
+@pytest.mark.parametrize("flat", [False, True])
+def test_sharded_slot_order_matches_single_chip(flat):
+    """Slot-major sharded tier (round 4: transposed tables column-
+    sharded, per-slot gathers + fold, slot-major ref enumeration) must
+    reproduce the single-chip slot engine's trajectory on a hub graph
+    exercising the overflow machinery — for both the binned and flat
+    table structures."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(3)
+    n = 300
+    e = [(0, j) for j in range(1, 250)] + [(1, j) for j in range(2, 180)]
+    e += [(min(a, b), max(a, b))
+          for a, b in rng.integers(0, n, (500, 2)) if a != b]
+    e = np.unique(np.array(sorted(set(e)), np.int64), axis=0)
+    adj = sp.coo_matrix(
+        (np.ones(len(e)), (e[:, 0], e[:, 1])), shape=(n, n)
+    ).tocsr()
+    adj = adj + adj.T
+    adj.data[:] = 1
+
+    kw = dict(n_components=3, seed=11, verbose=False, sample_size=64,
+              n_neighbors=5, ref_order="slot", binned_table=not flat,
+              fused_midpoints=True)
+    single = gr.GraphEmbedderTPU(adj, **kw)
+    shard = ShardedGraphEmbedder(adj, mesh=make_mesh(4), **kw)
+    assert single._nb.get("ref_order") == "slot"
+    assert shard._fused_refs_active
+    for _ in range(3):
+        single.update_positions()
+        shard.update_positions()
+    np.testing.assert_allclose(
+        shard.positions, single.positions, rtol=5e-3, atol=5e-4
+    )
+
+
+@pytest.mark.fast
+def test_sharded_slot_ring_matches_all_gather():
+    """Ring merge over the slot-major ref enumeration (div/mod
+    to_global segments) must match the all_gather merge bitwise."""
+    adj = gr.erdos_renyi_graph(200, 0.06, seed=5)
+    kw = dict(n_components=3, seed=7, verbose=False, sample_size=64,
+              n_neighbors=5, ref_order="slot", binned_table=True,
+              fused_midpoints=True)
+    gather = ShardedGraphEmbedder(adj, mesh=make_mesh(4), **kw)
+    ring = ShardedGraphEmbedder(adj, mesh=make_mesh(4), knn_comm="ring",
+                                **kw)
+    for _ in range(4):
+        gather.update_positions()
+        ring.update_positions()
+    np.testing.assert_array_equal(ring.positions, gather.positions)
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_slot_mesh_sizes(n_devices):
+    """Slot-major sharding at non-dividing mesh sizes: the column pads
+    (index start_g / 0) and the [:count] all_gather slices must keep
+    trajectories equal to the single-chip slot engine."""
+    adj = gr.generate_ba(n=150, m=3, seed=2)
+    kw = dict(n_components=2, seed=3, verbose=False, sample_size=48,
+              n_neighbors=4, ref_order="slot", fused_midpoints=True)
+    single = gr.GraphEmbedderTPU(adj, **kw)
+    shard = ShardedGraphEmbedder(adj, mesh=make_mesh(n_devices), **kw)
+    for _ in range(3):
+        single.update_positions()
+        shard.update_positions()
+    np.testing.assert_allclose(
+        shard.positions, single.positions, rtol=5e-3, atol=5e-4
+    )
+
+
+@pytest.mark.fast
 @pytest.mark.parametrize("variant", ["unfused", "fused", "binned"])
 def test_ring_matches_all_gather_200_iters_with_ties(variant):
     """Ring merge must stay bitwise-equal to the all_gather merge over a

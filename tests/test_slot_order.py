@@ -130,15 +130,20 @@ def test_slot_order_host_maps_binned():
 
 
 @pytest.mark.fast
-def test_slot_order_rejected_on_sharded():
+def test_slot_order_accepted_on_sharded():
+    """Round 4: the sharded tier gained slot-major support
+    (parallel/sharded_step.py slot_order branches) — the explicit
+    kwarg must construct and run, where it raised through round 3."""
     from graphem_rapids_tpu.parallel import ShardedGraphEmbedder, make_mesh
 
     adj = gr.generate_random_regular(n=64, d=4, seed=0)
-    with pytest.raises(ValueError, match="slot"):
-        ShardedGraphEmbedder(
-            adj, n_components=2, mesh=make_mesh(2), seed=0, verbose=False,
-            ref_order="slot",
-        )
+    emb = ShardedGraphEmbedder(
+        adj, n_components=2, mesh=make_mesh(2), seed=0, verbose=False,
+        ref_order="slot",
+    )
+    assert emb.ref_order == "slot"
+    emb.update_positions()
+    assert np.isfinite(np.asarray(emb.positions)).all()
 
 
 @pytest.mark.fast
