@@ -579,6 +579,22 @@ def test_sharded_slot_ring_matches_all_gather():
 
 
 @pytest.mark.fast
+def test_sharded_slot_ring_pallas_runs():
+    """Slot-major refs composed with the RDMA bin ring (TPU-interpret
+    mode on the CPU mesh): the kernel consumes the (R_loc, d) ref tile
+    layout-agnostically, but the combination must compile and stay
+    finite."""
+    adj = gr.erdos_renyi_graph(120, 0.08, seed=4)
+    emb = ShardedGraphEmbedder(
+        adj, n_components=2, mesh=make_mesh(4), seed=6, verbose=False,
+        sample_size=32, n_neighbors=4, ref_order="slot",
+        fused_midpoints=True, knn_comm="ring_pallas",
+    )
+    emb.update_positions()
+    assert np.isfinite(np.asarray(emb.positions)).all()
+
+
+@pytest.mark.fast
 @pytest.mark.parametrize("n_devices", [2, 8])
 def test_sharded_slot_mesh_sizes(n_devices):
     """Slot-major sharding at non-dividing mesh sizes: the column pads
