@@ -14,10 +14,10 @@ promise_in_bounds, bf16, row padding, RCM — all no effect); each row
 moves ~512 B effective (one (8,128)-tile lane row), so the implied HBM
 rate is also shown as a roofline fraction via utils/profiling.roofline.
 
-Tier workloads reproduce the banked runs:
-  1M:   ring + 3M chords      (experiments/bench_1m.py,   78.7 ms/iter)
-  10M:  ring + 25M chords     (experiments/bench_10m.py,  958.7 ms/iter)
-  30M:  experiments/data/graph_30m.npz  (bench_30m.py,    3792.6 ms/iter)
+Tier workloads reproduce the banked runs (r4 slot-major defaults):
+  1M:   ring + 3M chords      (experiments/bench_1m.py,   57.8 ms/iter)
+  10M:  ring + 25M chords     (experiments/bench_10m.py,  683 ms/iter)
+  30M:  experiments/data/graph_30m.npz  (bench_30m.py,    1882 ms/iter)
   100M: experiments/data/graph_100m.npz (bench_100m.py,   2597.9 ms/iter)
 
 Usage: python scripts/roofline_tiers.py [--tiers 1m,10m,30m,100m]
@@ -45,10 +45,12 @@ GATHER_BYTES_PER_ROW = 512   # one (8,128) f32 lane row per gathered row
 REF_BYTES = 12               # binfold streams (d=3, E_pad) f32 refs once
 
 # measured warm s/iter from BASELINE.md (logs in experiments/data/)
+# — round-4 slot-major-default re-measures; the r3 row-major values the
+# original accounting ran against are kept in BASELINE.md's table.
 MEASURED = {
-    "1m":   dict(s_iter=0.0787,  src="BASELINE.md 1M tier (50.84M e/s)"),
-    "10m":  dict(s_iter=0.9587,  src="BASELINE.md 10M tier (36.51M e/s)"),
-    "30m":  dict(s_iter=3.7926,  src="bench_30m_r3.log (25.31M e/s)"),
+    "1m":   dict(s_iter=0.0578,  src="BASELINE.md 1M tier r4 slot (69.15M e/s)"),
+    "10m":  dict(s_iter=0.683,   src="BASELINE.md 10M tier r4 slot (51.22M e/s)"),
+    "30m":  dict(s_iter=1.882,   src="bench_30m_binned_r4.log (51.01M e/s)"),
     "100m": dict(s_iter=2.5979,  src="bench_100m_r3.log (44.27M e/s)"),
 }
 
