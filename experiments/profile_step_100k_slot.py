@@ -138,17 +138,20 @@ t_sample = time_loop("+ sampling + slot queries", body_sample)
 t_knn = time_loop("+ binfold kNN + slot->edge map", body_knn)
 t_full = time_loop("+ intersection (rebuilt full step)", body_full)
 
-# the real engine step, same methodology
+# the real engine step, same methodology. _multi_step DONATES the
+# positions/key buffers — reassign the outputs every call (bench.py
+# pattern); reusing a donated input raises an async INVALID_ARGUMENT
+# at the next fetch over the tunnel.
 multi = emb._multi_step
-pos0, key0 = emb._positions, emb._key
-out = multi(pos0, key0, emb._step_ops, num_steps=ITERS)
-jax.block_until_ready(out)
+pos, key = emb._positions, emb._key
+pos, key = multi(pos, key, emb._step_ops, num_steps=ITERS)
+np.asarray(pos[:2])
 best = float("inf")
 for t in range(3):
-    p = pos0 + np.float32(1e-6 * (t + 1))
+    pos = pos + np.float32(1e-6 * (t + 1))
     t0 = time.perf_counter()
-    o = multi(p, key0, emb._step_ops, num_steps=ITERS)
-    np.asarray(o[0][:2])
+    pos, key = multi(pos, key, emb._step_ops, num_steps=ITERS)
+    np.asarray(pos[:2])
     best = min(best, time.perf_counter() - t0)
 print(f"{'FULL engine step':44s} {best/ITERS*1e3:7.3f} ms/iter", flush=True)
 
