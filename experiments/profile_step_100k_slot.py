@@ -155,9 +155,17 @@ for t in range(3):
     best = min(best, time.perf_counter() - t0)
 print(f"{'FULL engine step':44s} {best/ITERS*1e3:7.3f} ms/iter", flush=True)
 
+# Cumulative phase rows can be NON-monotone (phase isolation changes
+# XLA fusion: the r4 run measured the standalone sampling row ABOVE the
+# row that adds binfold). Attribute sampling+queries+binfold JOINTLY —
+# the split (t_knn - t_sample) would print a negative binfold and an
+# inflated sampling figure (ADVICE r4).
+if t_sample > t_knn:
+    print("\nNOTE: cumulative rows non-monotone (sampling row > +binfold "
+          "row) — fusion noise; sampling/queries/binfold attributed "
+          "jointly below.")
 print(f"\nattribution (ms/iter): spring+norm {t_spring*1e3:.3f} | "
       f"refs {(t_refs-t_spring)*1e3:.3f} | "
-      f"sampling+queries {(t_sample-t_refs)*1e3:.3f} | "
-      f"binfold {(t_knn-t_sample)*1e3:.3f} | "
+      f"sampling+queries+binfold {(t_knn-t_refs)*1e3:.3f} | "
       f"intersection {(t_full-t_knn)*1e3:.3f} | "
       f"engine total {best/ITERS*1e3:.3f}")

@@ -75,10 +75,14 @@ from .influence import (
 )
 from .models.embedder import GraphEmbedderTPU
 
-# Migration alias: the reference exports its primary engine as
-# GraphEmbedderPyTorch (graphem_rapids/__init__.py:173-220). Here there is
-# ONE engine; code written against the reference keeps working unchanged.
+# Migration aliases: the reference exports its primary engine as
+# GraphEmbedderPyTorch and, when RAPIDS is installed, its large-scale tier
+# as GraphEmbedderCuVS (graphem_rapids/__init__.py:173-220, :218-220). Here
+# there is ONE engine whose strategy tiering covers both regimes; code
+# written against either reference name keeps working unchanged (the cuVS
+# alias is unconditional — the TPU tiers need no optional dependency).
 GraphEmbedderPyTorch = GraphEmbedderTPU
+GraphEmbedderCuVS = GraphEmbedderTPU
 from .utils.backend_selection import (
     BackendConfig,
     check_tpu_availability,
@@ -206,6 +210,7 @@ __all__ = [
     "GraphEmbedderTPU",
     "ShardedGraphEmbedder",  # multi-chip tier (lazy import)
     "GraphEmbedderPyTorch",  # migration alias for reference users
+    "GraphEmbedderCuVS",  # migration alias for reference cuVS users
     # Graph generators
     "erdos_renyi_graph",
     "generate_sbm",

@@ -180,7 +180,8 @@ def run_influence_benchmark(graph_generator, graph_params, k=10, p=0.1,
 
     logger.info("Creating embedder...")
     embedder = GraphEmbedderTPU(
-        adjacency, n_components=dim, verbose=False, **layout_params
+        adjacency, n_components=dim, verbose=False,
+        knn_strategy=backend if backend else "auto", **layout_params
     )
 
     logger.info("Running GraphEm seed selection...")

@@ -179,7 +179,16 @@ def knn(queries, refs, k, strategy="auto", chunk_size=DEFAULT_CHUNK,
     """
     E = refs.shape[0]
     if strategy == "auto":
-        strategy = "exact" if E <= EXACT_MAX_REFS else "approx"
+        if E <= EXACT_MAX_REFS:
+            strategy = "exact"
+        elif jax.devices()[0].platform == "cpu":
+            # Same tiering as the engine (models/embedder.py
+            # _resolved_strategy): approx_min_k has no fast CPU lowering,
+            # so CPU hosts take the exact blockwise scan rather than a
+            # slower AND approximate path.
+            strategy = "chunked"
+        else:
+            strategy = "approx"
     if strategy == "exact":
         return knn_exact(queries, refs, k)
     if strategy == "chunked":

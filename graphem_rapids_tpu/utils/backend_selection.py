@@ -135,10 +135,12 @@ def estimate_memory_usage(n_vertices, n_components, strategy="exact",
     """
     E = n_edges if n_edges is not None else n_vertices * 4
     pos = n_vertices * n_components * 4
-    edges = E * 2 * 8  # int32 pairs x2 directions
+    edges = E * 2 * 4 * 2  # int32 pairs, both scatter directions
     if strategy == "exact":
-        # one-shot (S, E) distance block: refs are the E edge midpoints
-        block = sample_size * max(E, n_vertices) * 8
+        # one-shot (S, E) f32 distance block plus the (E, d) f32 ref
+        # midpoints themselves: refs are the E edge midpoints
+        block = sample_size * max(E, n_vertices) * 4 \
+            + max(E, n_vertices) * max(n_components, 1) * 4
     else:
         block = sample_size * 8192 * 4
     return (5 * pos + edges + block) / 1024**3

@@ -20,9 +20,11 @@ import jax
 logger = logging.getLogger(__name__)
 
 # Static per-chip budgets (bytes). Conservative defaults: TPU v5e has 16 GiB
-# HBM and ~128 MiB VMEM per core; CPU hosts get a 4 GiB working budget.
+# HBM and ~16 MiB VMEM per core (pallas_guide memory hierarchy; the same
+# figure parallel/ring_binfold.py budgets its resident buffers against);
+# CPU hosts get a 4 GiB working budget.
 HBM_BUDGET = {"tpu": 16 * 1024**3, "cpu": 4 * 1024**3}
-VMEM_BUDGET = 64 * 1024**2
+VMEM_BUDGET = 16 * 1024**2
 
 # Fraction of the HBM budget a single kNN distance block may use.
 KNN_BLOCK_FRACTION = 0.25

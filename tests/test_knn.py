@@ -5,6 +5,7 @@ Mirror of the reference kNN-backend tests
 one engine.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -161,3 +162,31 @@ def test_strategy_dispatch():
         assert idx.shape == (8, 5)
     with pytest.raises(ValueError):
         knn(jnp.asarray(q), jnp.asarray(r), 5, strategy="nope")
+
+
+@pytest.mark.fast
+def test_auto_routes_cpu_hosts_to_exact_scan(monkeypatch):
+    """'auto' above EXACT_MAX_REFS must match the engine's CPU tiering:
+    the exact blockwise scan, never 'approx' (approx_min_k has no fast
+    CPU lowering — models/embedder.py _resolved_strategy)."""
+    import importlib
+
+    knn_mod = importlib.import_module("graphem_rapids_tpu.ops.knn")
+
+    assert jax.devices()[0].platform == "cpu"
+    routed = []
+    real = knn_mod.knn_chunked
+
+    def spy(q, r, k, chunk_size=knn_mod.DEFAULT_CHUNK):
+        routed.append("chunked")
+        return real(q, r, k, chunk_size)
+
+    monkeypatch.setattr(knn_mod, "knn_chunked", spy)
+    monkeypatch.setattr(
+        knn_mod, "knn_approx",
+        lambda *a, **k: routed.append("approx") or (None, None),
+    )
+    q, r = _points(n_q=4, n_r=knn_mod.EXACT_MAX_REFS + 128)
+    idx, _ = knn_mod.knn(jnp.asarray(q), jnp.asarray(r), 3, strategy="auto")
+    assert routed == ["chunked"]
+    assert idx.shape == (4, 3)

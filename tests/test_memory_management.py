@@ -26,8 +26,9 @@ class TestChunkSize:
     def test_pallas_fits_vmem_budget(self):
         c = get_optimal_chunk_size(1_000_000, 3, strategy="pallas",
                                    sample_size=1024)
-        # (sample x chunk) fp32 distance block within the VMEM budget
-        assert 1024 * c * 4 * 2 <= 2 * 64 * 1024**2
+        # (sample x chunk) fp32 distance block within the ~16 MiB/core
+        # VMEM budget (double-buffered)
+        assert 1024 * c * 4 * 2 <= 2 * 16 * 1024**2
 
     def test_larger_sample_smaller_chunk(self):
         a = get_optimal_chunk_size(10**6, 3, strategy="pallas",

@@ -201,3 +201,21 @@ def test_table_build_helpers_match_numpy():
     want = np.empty(E, np.int32)
     want[perm] = np.arange(E, dtype=np.int32) - starts[keys[perm]]
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.fast
+def test_native_is_active_when_required():
+    """CI gate: after the workflow's build step, the native path must be
+    ACTIVE — a silent fallback to numpy (e.g. an import error swallowed
+    by the try/except) must fail the suite, not skip it. Opt-in via
+    GRAPHEM_REQUIRE_NATIVE=1 so clean local checkouts keep skipping."""
+    import os
+
+    if os.environ.get("GRAPHEM_REQUIRE_NATIVE") != "1":
+        pytest.skip("GRAPHEM_REQUIRE_NATIVE not set")
+    assert FASTGRAPH_AVAILABLE, (
+        "GRAPHEM_REQUIRE_NATIVE=1 but the fastgraph C extension did not "
+        "import — the build step ran, so this is a real regression"
+    )
+    got = parse_edges_native(b"0 1\n1 2\n")
+    assert got.tolist() == [[0, 1], [1, 2]]
