@@ -27,7 +27,7 @@ So the only divergence left is accumulated fp32 arithmetic differences
 (XLA fused ops vs torch kernels) plus approximate-kNN recall on the
 production strategies — exactly what the target bounds.
 
-Configs (>= 5, per VERDICT r3 #3):
+Configs (>= 5, per VERDICT r3 #3; 7-9 added per VERDICT r4 #5):
   1. ER n=1000, d=3, 50 iters      — exact-strategy tier
   2. RR n=10K deg 8, d=3, 30 iters — binfold tier (TPU production path)
   3. ER n=1000, d=2, 50 iters      — native-2D intersection geometry
@@ -35,6 +35,14 @@ Configs (>= 5, per VERDICT r3 #3):
                                      (table-cap overflow machinery)
   5. ER n=2000, d=3, 120 iters     — long-horizon drift accumulation
   6. SBM n=100K, d=3, 20 iters     — large tier (skipped with --quick)
+  7. ER n=1500, d=4, 50 iters      — top of the paper's 2-4D regime
+  8. ER n=1000, d=3, 30 iters, ShardedGraphEmbedder on an 8-device
+     virtual CPU mesh (exact local path) — the multi-chip step math
+  9. same graph, sharded with the forced TPU-mesh shape (fused midpoint
+     refs + binfold local top-k, interpret mode on CPU)
+Configs 8-9 run in a CPU-forced subprocess (the virtual mesh needs
+xla_force_host_platform_device_count before jax initializes; the parent
+process owns the real TPU for configs 1-7).
 
 Usage: python scripts/spearman_vs_reference.py [--quick]
 """
@@ -105,7 +113,8 @@ def inject_reference_samples(ref_emb, sample_iter):
     ref_emb._locate_knn_midpoints = _locate
 
 
-def run_config(name, adj, iters, force, RefCls, gr, n_components=3):
+def run_config(name, adj, iters, force, RefCls, gr, n_components=3,
+               make_engine=None):
     E = adj.nnz // 2
     S = min(force["sample_size"], E)
     print(f"\n[{name}] n={adj.shape[0]} E={E} d={n_components} "
@@ -115,9 +124,13 @@ def run_config(name, adj, iters, force, RefCls, gr, n_components=3):
     ref = RefCls(adj, n_components=n_components, device="cpu",
                  verbose=False, seed=0, **force)
     pos0 = np.array(ref.positions, dtype=np.float32)
-    tpu = gr.GraphEmbedderTPU(
-        adj, n_components=n_components, seed=0, verbose=False, **force,
-    )
+    if make_engine is None:
+        def make_engine(adj, n_components, force):
+            return gr.GraphEmbedderTPU(
+                adj, n_components=n_components, seed=0, verbose=False,
+                **force,
+            )
+    tpu = make_engine(adj, n_components, force)
     tpu.positions = pos0  # identical init (kills eigsh sign/order noise)
     print(f"  init {time.perf_counter()-t0:.1f}s "
           f"(tpu strategy={tpu._resolved_strategy()})", flush=True)
@@ -150,7 +163,73 @@ def run_config(name, adj, iters, force, RefCls, gr, n_components=3):
     return rho, drift
 
 
+def sharded_child(variant):
+    """Configs 8-9: run in a fresh CPU process with an 8-device virtual
+    mesh (conftest pattern). Prints one machine-readable RESULT line."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    RefCls = load_reference()
+    import graphem_rapids_tpu as gr
+    from graphem_rapids_tpu.parallel.mesh import make_mesh
+
+    force = dict(L_min=10.0, k_attr=0.5, k_inter=0.1, n_neighbors=15,
+                 sample_size=512)
+    mesh = make_mesh(8)
+    assert len(list(mesh.devices.flat)) == 8, mesh
+
+    if variant == "exact":
+        adj = gr.erdos_renyi_graph(n=1000, p=0.01, seed=7)
+        iters, kw = 30, {}
+    else:  # forced TPU-mesh shape: fused refs + binfold local (interpret)
+        adj = gr.erdos_renyi_graph(n=500, p=0.02, seed=7)
+        iters, kw = 12, dict(fused_midpoints=True, use_binfold_local=True)
+
+    def make_engine(adj, n_components, force):
+        emb = gr.ShardedGraphEmbedder(
+            adj, n_components=n_components, mesh=mesh, seed=0,
+            verbose=False, **kw, **force,
+        )
+        if kw.get("fused_midpoints"):
+            assert emb._fused_refs_active, "fused refs did not engage"
+        return emb
+
+    rho, drift = run_config(
+        f"config sharded-{variant} (8-dev virtual mesh)", adj, iters,
+        force, RefCls, gr, make_engine=make_engine,
+    )
+    print(f"RESULT {rho:.6f} {drift:.6e}", flush=True)
+
+
+def run_sharded_subprocess(variant):
+    import re
+    import subprocess
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--_sharded-child", variant],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    sys.stdout.write(proc.stdout)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr)
+        raise RuntimeError(f"sharded child {variant} rc={proc.returncode}")
+    m = re.search(r"^RESULT ([\d.+-eE]+) ([\d.+-eE]+)", proc.stdout,
+                  re.MULTILINE)
+    if not m:
+        raise RuntimeError(f"no RESULT line from sharded child {variant}")
+    return float(m.group(1)), float(m.group(2))
+
+
 def main():
+    if "--_sharded-child" in sys.argv:
+        sharded_child(sys.argv[sys.argv.index("--_sharded-child") + 1])
+        return
     quick = "--quick" in sys.argv
     RefCls = load_reference()
     import graphem_rapids_tpu as gr
@@ -193,6 +272,19 @@ def main():
         rows.append(("config6 SBM n=100K, d=3, 20 iters",
                      *run_config("config 6: SBM n=100K", adj, 20, force,
                                  RefCls, gr)))
+
+    adj = gr.erdos_renyi_graph(n=1500, p=0.008, seed=13)
+    rows.append(("config7 ER n=1500 p=0.008, d=4, 50 iters",
+                 *run_config("config 7: ER n=1500 d=4", adj, 50, force,
+                             RefCls, gr, n_components=4)))
+
+    print("\n[configs 8-9: sharded engine, 8-device virtual CPU mesh "
+          "(subprocess)]", flush=True)
+    rows.append(("config8 ER n=1000, d=3, 30 iters, SHARDED 8-dev mesh "
+                 "(exact local)", *run_sharded_subprocess("exact")))
+    rows.append(("config9 ER n=500, d=3, 12 iters, SHARDED 8-dev mesh "
+                 "(fused refs + binfold local, TPU-mesh shape)",
+                 *run_sharded_subprocess("tpu_shape")))
 
     print("\n| config | Spearman(radius_ref, radius_tpu) | rel. drift |",
           flush=True)
