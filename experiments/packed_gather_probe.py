@@ -138,8 +138,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1m,10m")
     ap.add_argument("--gs", default="8,32,128")
+    ap.add_argument("--alt-selects", action="store_true")
     args = ap.parse_args()
-    sizes = {"1m": 1_000_000, "10m": 10_000_000, "30m": 30_000_000}
+    sizes = {"1m": 1_000_000, "2m": 2_000_000, "4m": 4_000_000,
+             "10m": 10_000_000, "30m": 30_000_000}
     gs = [int(g) for g in args.gs.split(",")]
     rng = np.random.default_rng(0)
     print(f"devices: {jax.devices()}", flush=True)
@@ -161,6 +163,11 @@ def main():
                    make_packed_gather(G), packed, idx_g, reps)
             timeit(f"packed G={G} (reshape in-program)",
                    make_packed_from_flat(G), pos[:m * G], idx_g, reps)
+            if not args.alt_selects:
+                continue
+            # alternative selects — both measured far SLOWER at 1M
+            # (take_along_axis 52-60 ns/row and OOMs at G=32; the
+            # (D,m,G) transposed one-hot 9-12 ns/row); kept opt-in
             timeit(f"packed G={G} take_along_axis",
                    make_packed_tala(G), packed, idx_g, reps)
             packed_t = jnp.asarray(

@@ -35,6 +35,7 @@ from ..ops.forces import (
     intersection_forces,
     midpoint_refs_binned,
     midpoint_refs_from_gathered,
+    pack_positions,
     spring_forces_binned,
     spring_forces_from_gathered,
     spring_refs_binned_slotwise,
@@ -58,6 +59,17 @@ EPS = 1e-6
 # only small/interactive graphs, where the per-slot unrolled gathers
 # cost extra compile time (~+60 s at 100K) for microseconds of step.
 SLOT_REF_ORDER_MIN_N = 100_000
+
+# Auto threshold for the lane-packed per-slot gathers (packed_gather=
+# None on TPU, slot paths only): from this many vertices the packed
+# composed gather (ops/forces.py pack_positions/packed_take) beats the
+# plain per-row gather — the per-row issue rate falls with source row
+# count, and packing G=8 vertices per row shrinks the source 8x
+# (measured 3.3 vs 5.9 ns/row at 1M, experiments/packed_gather_probe.py;
+# value-identical, see packed_take). Below it the source is already in
+# the fast working-set regime and the one-hot select overhead wins
+# nothing.
+PACKED_GATHER_MIN_N = 1_000_000
 
 
 class GraphEmbedderTPU:
@@ -129,6 +141,14 @@ class GraphEmbedderTPU:
         every tier 100K-10M (BASELINE.md round-4 A/B) — and avoids the
         cap-minor temps whose 16x lane padding blocked the 30M-vertex
         compile (BASELINE.md round 3).
+    packed_gather : bool, optional
+        Lane-packed per-slot position gathers (ops/forces.py
+        pack_positions/packed_take): G=8 vertices per packed source row
+        shrink the gather's source row count 8x, which is what the HBM
+        per-row issue-rate wall actually responds to (index structure
+        does not — experiments/gather_locality_probe.py). Slot paths
+        only; value-identical to the plain gather. None (default)
+        auto-enables on TPU from PACKED_GATHER_MIN_N vertices.
     memory_efficient : bool, default=True
         Kept for API compatibility; chunked strategies are always available.
     verbose : bool, default=True
@@ -181,6 +201,7 @@ class GraphEmbedderTPU:
         fused_midpoints=None,
         binned_table=None,
         ref_order=None,
+        packed_gather=None,
         memory_efficient=True,
         verbose=True,
         logger_instance=None,
@@ -211,6 +232,7 @@ class GraphEmbedderTPU:
         self.fused_midpoints = fused_midpoints
         self.binned_table = binned_table
         self.ref_order = ref_order
+        self.packed_gather = packed_gather
         self._iteration = 0
 
         if self.n_components <= 0:
@@ -541,6 +563,17 @@ class GraphEmbedderTPU:
         # forces helpers expect.
         binned = "buckets" in nb
         slot_order = nb.get("ref_order") == "slot"
+        # Lane-packed slot gathers (ops/forces.py PACKED_GATHER_G note):
+        # auto on TPU slot paths from PACKED_GATHER_MIN_N vertices.
+        if self.packed_gather is None:
+            use_packed = (
+                slot_order
+                and self._ref_order_platform() == "tpu"
+                and self.n >= PACKED_GATHER_MIN_N
+            )
+        else:
+            use_packed = bool(self.packed_gather) and slot_order
+        self._packed_gather_active = use_packed
         step_ops = {
             "nb": {
                 k_: v_ for k_, v_ in nb.items()
@@ -588,6 +621,7 @@ class GraphEmbedderTPU:
                 # the midpoint ref set — no cap-minor temps (see
                 # SLOT_REF_ORDER_MIN_N)
                 want_refs = fused_refs and k_eff > 1
+                packed = pack_positions(positions) if use_packed else None
                 if binned:
                     spring, refs_sw = spring_refs_binned_slotwise(
                         positions, ops["tables"], nb, k_attr, L_min,
@@ -595,6 +629,7 @@ class GraphEmbedderTPU:
                         overflow_lt=ops.get("overflow_lt"),
                         overflow_edges=ops.get("nb_overflow"),
                         overflow_plan=plan_rt, want_refs=want_refs,
+                        packed=packed,
                     )
                 else:
                     spring, refs_sw = spring_refs_slotwise(
@@ -603,6 +638,7 @@ class GraphEmbedderTPU:
                         overflow_lt=ops.get("overflow_lt"),
                         overflow_edges=ops.get("nb_overflow"),
                         overflow_plan=plan_rt, want_refs=want_refs,
+                        packed=packed,
                     )
             elif binned:
                 pn_list = [positions[t] for t in ops["tables"]]

@@ -716,7 +716,7 @@ def _apply_table_overflow(forces, positions, n, overflow_edges,
 def spring_refs_binned_slotwise(positions, tables_t, nbb, k_attr, L_min,
                                 ref_valid=None, overflow_lt=None,
                                 overflow_edges=None, overflow_plan=None,
-                                want_refs=True):
+                                want_refs=True, packed=None):
     """Spring forces + midpoint refs from slot-major binned tables.
 
     Device path for ``build_neighbor_table_binned(..., ref_order='slot')``:
@@ -732,7 +732,13 @@ def spring_refs_binned_slotwise(positions, tables_t, nbb, k_attr, L_min,
     Returns ``(forces, refs)``; ``refs`` is None when ``want_refs`` is
     False. Semantics match spring_forces_binned + midpoint_refs_binned
     exactly (same per-slot math, reordered ref enumeration).
+
+    ``packed``: optional pack_positions(positions) view — the per-slot
+    gathers then run lane-packed (packed_take), value-identical but
+    ~1.8x cheaper per row on TPU at >=1M-row sources (see the
+    PACKED_GATHER_G note above).
     """
+    d = positions.shape[1]
     blocks = []
     parts = []
     off = 0
@@ -745,7 +751,10 @@ def spring_refs_binned_slotwise(positions, tables_t, nbb, k_attr, L_min,
             continue
         acc = jnp.zeros_like(pv)
         for s in range(cap):
-            pn_s = positions[tt[s]]
+            pn_s = (
+                packed_take(packed, tt[s], d) if packed is not None
+                else positions[tt[s]]
+            )
             diff = pn_s - pv
             dist = jnp.linalg.norm(diff, axis=-1, keepdims=True) + EPS
             acc = acc + (-k_attr * (dist - L_min)) * (diff / dist)
@@ -781,20 +790,25 @@ def spring_refs_binned_slotwise(positions, tables_t, nbb, k_attr, L_min,
 def spring_refs_slotwise(positions, table_t, nb, k_attr, L_min,
                          ref_valid=None, overflow_lt=None,
                          overflow_edges=None, overflow_plan=None,
-                         want_refs=True):
+                         want_refs=True, packed=None):
     """Flat-table counterpart of spring_refs_binned_slotwise.
 
     Device path for ``build_neighbor_table(..., ref_order='slot')``:
     the (D, n) transposed table is walked one column-row at a time; ref
-    slot (v, s) lands at flat index s*n + v.
+    slot (v, s) lands at flat index s*n + v. ``packed``: see
+    spring_refs_binned_slotwise.
     """
     D = table_t.shape[0]
     n = positions.shape[0]
+    d = positions.shape[1]
     rc = min(nb["ref_cap"], D)
     acc = jnp.zeros_like(positions)
     parts = []
     for s in range(D):
-        pn_s = positions[table_t[s]]
+        pn_s = (
+            packed_take(packed, table_t[s], d) if packed is not None
+            else positions[table_t[s]]
+        )
         diff = pn_s - positions
         dist = jnp.linalg.norm(diff, axis=-1, keepdims=True) + EPS
         acc = acc + (-k_attr * (dist - L_min)) * (diff / dist)
@@ -959,6 +973,57 @@ def spring_forces_nbtable(positions, nb, k_attr, L_min,
 # overflow to +inf and the slot can never be selected as a neighbor — the
 # same convention _oneshot_approx uses for lane padding (ops/knn.py).
 REF_PAD_VALUE = 1e30
+
+
+# ---- lane-packed position gather (round 5) --------------------------- #
+# The per-row HBM gather cost is an ISSUE-RATE wall that ignores index
+# structure entirely (random = sorted = all-128-lanes-same-row = 5.9
+# ns/row at a 1M-row source; experiments/gather_locality_probe.py) but
+# falls steeply with the source ROW COUNT: packing G=8 vertices per
+# source row and selecting the wanted vertex on-chip with a one-hot
+# reduce (which XLA fuses into the gather consumer) measured 3.3 vs 5.9
+# ns/row at 1M and wins again at 10M (experiments/packed_gather_probe.py;
+# take_along_axis and (d, m, G) transposed selects both measured far
+# slower — the strided one-hot FMA is the right select on this
+# toolchain). The reshape from the engine's (n, d) positions is free
+# (same linear layout), so the packed view costs nothing to build
+# inside the step. This attacks the transaction wall the per-row DMA /
+# dynamic_gather / locality probes could not (BASELINE.md r4-r5);
+# reference anchor: the scatter/gather hot path this whole table layer
+# replaces, embedder_pytorch.py:595-636.
+PACKED_GATHER_G = 8
+
+
+def pack_positions(positions, G=PACKED_GATHER_G):
+    """(ceil(n/G), G*d) packed view of positions, zero-padded to G rows.
+
+    Built INSIDE the jitted step (XLA CSEs the identical subexpression
+    across the unrolled slot columns, so the pad+reshape is paid once
+    per iteration)."""
+    n, d = positions.shape
+    pad = (-n) % G
+    if pad:
+        positions = jnp.concatenate(
+            [positions, jnp.zeros((pad, d), positions.dtype)], axis=0
+        )
+    return positions.reshape((n + pad) // G, G * d)
+
+
+def packed_take(packed, idx, d, G=PACKED_GATHER_G):
+    """out[r] = positions[idx[r]] via the lane-packed source.
+
+    Exact: the one-hot reduce adds 1.0 * positions[idx] and 0.0 * the
+    G-1 neighbors in the packed row, so values match the plain gather
+    bit for bit (finite positions)."""
+    R = idx.shape[0]
+    rows = packed[idx // G]                        # (R, G*d)
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, G), 1)
+        == (idx % G)[:, None]
+    )
+    return (
+        rows.reshape(R, G, d) * oh[:, :, None].astype(rows.dtype)
+    ).sum(axis=1)
 
 
 def masked_slot_midpoints(pv, pn, rc, valid):

@@ -188,3 +188,49 @@ def test_ref_budget_trim_midpoints_exact(order):
     got = refs[np.asarray(nbb["edge_ref"])]
     np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-6)
     assert E == len(ei)
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("d", [2, 3, 4])
+def test_packed_take_matches_plain_gather(d):
+    """packed_take is value-identical to positions[idx] — including a
+    non-G-divisible n (zero-padded packed rows) and every engine dim."""
+    import jax.numpy as jnp
+
+    from graphem_rapids_tpu.ops.forces import pack_positions, packed_take
+
+    rng = np.random.default_rng(4)
+    n = 1003  # not divisible by G=8
+    pos = rng.standard_normal((n, d)).astype(np.float32)
+    idx = rng.integers(0, n, 500).astype(np.int32)
+    packed = pack_positions(jnp.asarray(pos))
+    out = packed_take(packed, jnp.asarray(idx), d)
+    np.testing.assert_array_equal(np.asarray(out), pos[idx])
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("case", ["binned_fused", "flat_fused"])
+def test_packed_gather_trajectory_matches_plain(case):
+    """packed_gather=True reproduces the plain slot trajectory exactly
+    (the one-hot reduce adds 1.0*v + 0.0*neighbors — bit-identical)."""
+    kw = {
+        "binned_fused": dict(binned_table=True, fused_midpoints=True),
+        "flat_fused": dict(binned_table=False, fused_midpoints=True),
+    }[case]
+    adj = gr.generate_ba(n=350, m=4, seed=3)
+    got = {}
+    for packed in (False, True):
+        emb = gr.GraphEmbedderTPU(
+            adj, n_components=3, seed=7, verbose=False, ref_order="slot",
+            packed_gather=packed, sample_size=64, n_neighbors=8, **kw,
+        )
+        assert emb._packed_gather_active == packed
+        for t in range(5):
+            sampled = np.sort(np.random.default_rng(200 + t).choice(
+                emb.n_edges, size=64, replace=False,
+            ))
+            emb.update_positions(sample_indices=sampled)
+        got[packed] = np.asarray(emb.positions)
+    np.testing.assert_allclose(
+        got[True], got[False], rtol=1e-6, atol=1e-7
+    )
