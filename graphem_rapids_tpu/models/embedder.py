@@ -60,16 +60,28 @@ EPS = 1e-6
 # cost extra compile time (~+60 s at 100K) for microseconds of step.
 SLOT_REF_ORDER_MIN_N = 100_000
 
-# Auto threshold for the lane-packed per-slot gathers (packed_gather=
-# None on TPU, slot paths only): from this many vertices the packed
-# composed gather (ops/forces.py pack_positions/packed_take) beats the
-# plain per-row gather — the per-row issue rate falls with source row
-# count, and packing G=8 vertices per row shrinks the source 8x
-# (measured 3.3 vs 5.9 ns/row at 1M, experiments/packed_gather_probe.py;
-# value-identical, see packed_take). Below it the source is already in
-# the fast working-set regime and the one-hot select overhead wins
-# nothing.
-PACKED_GATHER_MIN_N = 1_000_000
+# Auto WINDOW for the lane-packed per-slot gathers (packed_gather=None
+# on TPU, slot paths only): the packed composed gather (ops/forces.py
+# pack_positions/packed_take) beats the plain per-row gather only while
+# the packed source stays in XLA's fused fast path (~<=125K source
+# rows) AND the one-hot select overhead (~linear in G) stays under the
+# shrink. Isolated-probe points (experiments/packed_gather_probe.py r5):
+# 1M G=8 3.3 vs 5.9 ns/row, 2M G=16 4.7 vs 5.6, 4M+ every G loses
+# (wide-row sources above ~250K rows fall off the fused path into a
+# per-element regime — 18-36 ns/row at 10M, with the (R, G*D) rows
+# materialized per the OOM dump). In-ENGINE window A/Bs (ab_1m_packed
+# harness, full step, best of 3): 100K 0.93x / 150K 0.93x / 250K 1.61x
+# / 500K 1.83x / 1M 1.70x / 2M 1.19x — window bounds below are the
+# measured-win endpoints. Value-identical either way.
+PACKED_GATHER_MIN_N = 250_000
+PACKED_GATHER_MAX_N = 2_500_000
+
+
+def _packed_gather_g(n):
+    """Packing factor keeping the packed source near the measured fast
+    regime (~125K rows): G=8 up to ~1.5M vertices, 16 to the window
+    top."""
+    return 8 if n <= 1_500_000 else 16
 
 
 class GraphEmbedderTPU:
@@ -569,11 +581,12 @@ class GraphEmbedderTPU:
             use_packed = (
                 slot_order
                 and self._ref_order_platform() == "tpu"
-                and self.n >= PACKED_GATHER_MIN_N
+                and PACKED_GATHER_MIN_N <= self.n < PACKED_GATHER_MAX_N
             )
         else:
             use_packed = bool(self.packed_gather) and slot_order
         self._packed_gather_active = use_packed
+        packed_g = _packed_gather_g(self.n)
         step_ops = {
             "nb": {
                 k_: v_ for k_, v_ in nb.items()
@@ -621,7 +634,10 @@ class GraphEmbedderTPU:
                 # the midpoint ref set — no cap-minor temps (see
                 # SLOT_REF_ORDER_MIN_N)
                 want_refs = fused_refs and k_eff > 1
-                packed = pack_positions(positions) if use_packed else None
+                packed = (
+                    pack_positions(positions, packed_g)
+                    if use_packed else None
+                )
                 if binned:
                     spring, refs_sw = spring_refs_binned_slotwise(
                         positions, ops["tables"], nb, k_attr, L_min,

@@ -1009,12 +1009,14 @@ def pack_positions(positions, G=PACKED_GATHER_G):
     return positions.reshape((n + pad) // G, G * d)
 
 
-def packed_take(packed, idx, d, G=PACKED_GATHER_G):
+def packed_take(packed, idx, d):
     """out[r] = positions[idx[r]] via the lane-packed source.
 
-    Exact: the one-hot reduce adds 1.0 * positions[idx] and 0.0 * the
-    G-1 neighbors in the packed row, so values match the plain gather
-    bit for bit (finite positions)."""
+    The packing factor is inferred from the packed row width (G * d),
+    so callers thread only the array. Exact: the one-hot reduce adds
+    1.0 * positions[idx] and 0.0 * the G-1 neighbors in the packed row,
+    so values match the plain gather bit for bit (finite positions)."""
+    G = packed.shape[1] // d
     R = idx.shape[0]
     rows = packed[idx // G]                        # (R, G*d)
     oh = (

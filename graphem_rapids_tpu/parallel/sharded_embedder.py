@@ -114,6 +114,7 @@ class ShardedGraphEmbedder(GraphEmbedderTPU):
             fused_refs=self.fused_midpoints,
             knn_comm=self.knn_comm,
             use_binfold_local=self.use_binfold_local,
+            packed_gather=self.packed_gather,
             return_raw=True,
         )
         if self._multiprocess:

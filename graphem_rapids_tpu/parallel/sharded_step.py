@@ -36,6 +36,8 @@ from ..ops.forces import (
     intersection_forces,
     masked_slot_midpoints,
     overflow_midpoints,
+    pack_positions,
+    packed_take,
 )
 from ..ops.knn import squared_distances
 from .mesh import EDGE_AXIS
@@ -64,7 +66,7 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                        n_neighbors, sample_size, nb=None,
                        knn_recall_target=0.95, use_approx_local=None,
                        use_binfold_local=None, fused_refs=None,
-                       knn_comm=None, knn_dtype="auto",
+                       knn_comm=None, knn_dtype="auto", packed_gather=None,
                        _debug_knn=False, _debug_spring=False,
                        return_raw=False, axis_name=EDGE_AXIS):
     """Build the jitted multi-chip update step.
@@ -190,6 +192,27 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     # The local and global ref enumerations become slot-major (per
     # bucket: s*loc + p locally, roff + s*pad + dev*loc + p globally).
     slot_order = nb is not None and nb.get("ref_order") == "slot"
+    # Lane-packed per-slot gathers, same window as the single-chip
+    # engine (models/embedder.py PACKED_GATHER_MIN_N/MAX_N note): the
+    # slot gathers read the REPLICATED positions on every device, so the
+    # packed-source win carries over unchanged; without this the r5
+    # single-chip 1.7x@1M would reopen the 1-device sharded gap the
+    # round-4 slot port closed (BASELINE.md).
+    from ..models.embedder import (
+        PACKED_GATHER_MAX_N,
+        PACKED_GATHER_MIN_N,
+        _packed_gather_g,
+    )
+
+    if packed_gather is None:
+        use_packed = (
+            slot_order
+            and mesh.devices.flat[0].platform == "tpu"
+            and PACKED_GATHER_MIN_N <= n < PACKED_GATHER_MAX_N
+        )
+    else:
+        use_packed = bool(packed_gather) and slot_order
+    packed_g = _packed_gather_g(n)
     if binned:
         # ---- degree-binned tables, bucket-row-sharded (opt-in) ------- #
         # Each bucket's (count_g, cap_g) table is row-padded to a
@@ -479,6 +502,11 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
     def sharded_body(positions, edges_full, valid_full, key, ops,
                      inject_sample=False):
         i = jax.lax.axis_index(axis_name)
+        # lane-packed gather source (XLA CSEs the pad+reshape across the
+        # unrolled slot columns; see use_packed above)
+        pos_packed = (
+            pack_positions(positions, packed_g) if use_packed else None
+        )
 
         # ---- local edge shard --------------------------------------- #
         edges_loc = shard_slice(edges_full, i, E_loc, (2,))
@@ -529,7 +557,12 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                     )
                 acc = jnp.zeros_like(pvg)
                 for s in range(gm["cap"]):
-                    pn_s = positions[tt_loc[s]]
+                    pn_s = (
+                        packed_take(pos_packed, tt_loc[s],
+                                    positions.shape[1])
+                        if pos_packed is not None
+                        else positions[tt_loc[s]]
+                    )
                     dvs = pn_s - pvg
                     dds = jnp.linalg.norm(dvs, axis=-1, keepdims=True) + EPS
                     acc = acc + (-k_attr * (dds - L_min)) * (dvs / dds)
@@ -639,7 +672,11 @@ def build_sharded_step(mesh, n, E, *, n_components, k_attr, L_min, k_inter,
                 )
             acc = jnp.zeros_like(pv)
             for s in range(D_tbl):
-                pn_s = positions[tt_loc[s]]
+                pn_s = (
+                    packed_take(pos_packed, tt_loc[s], positions.shape[1])
+                    if pos_packed is not None
+                    else positions[tt_loc[s]]
+                )
                 dvs = pn_s - pv
                 dds = jnp.linalg.norm(dvs, axis=-1, keepdims=True) + EPS
                 acc = acc + (-k_attr * (dds - L_min)) * (dvs / dds)

@@ -868,3 +868,35 @@ def test_all_to_all_merge_fused_refs():
         base.update_positions()
         a2a.update_positions()
     np.testing.assert_array_equal(a2a.positions, base.positions)
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("variant", ["flat", "binned"])
+def test_packed_gather_sharded_matches_plain(variant):
+    """packed_gather=True reproduces the plain sharded slot trajectory
+    (the one-hot packed select is value-identical; see ops/forces.py
+    packed_take). Covers both slot spring branches on a 4-device mesh."""
+    adj = gr.generate_ba(n=400, m=4, seed=6)
+    kw = dict(n_components=3, seed=5, verbose=False, sample_size=64,
+              n_neighbors=6, ref_order="slot", fused_midpoints=True)
+    if variant == "binned":
+        kw["binned_table"] = True
+    got = {}
+    for packed in (False, True):
+        emb = ShardedGraphEmbedder(
+            adj, mesh=make_mesh(4), packed_gather=packed, **kw
+        )
+        # two injected steps: enough to traverse both spring branches
+        # and the fused ref path; more iterations amplify one-ulp
+        # fusion-rounding differences through the chaotic map (the
+        # packed select itself is value-identical — the 1-step bound
+        # below is what pins it)
+        for t in range(2):
+            sampled = np.sort(np.random.default_rng(300 + t).choice(
+                emb.n_edges, size=64, replace=False,
+            ))
+            emb.update_positions(sample_indices=sampled)
+        got[packed] = np.asarray(emb.positions)
+    np.testing.assert_allclose(
+        got[True], got[False], rtol=2e-5, atol=1e-6
+    )
