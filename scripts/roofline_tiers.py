@@ -56,6 +56,12 @@ GATHER_NS_CURVE = [
 ]
 GATHER_BYTES_PER_ROW = 512   # one (8,128) f32 lane row per gathered row
 REF_BYTES = 12               # binfold streams (d=3, E_pad) f32 refs once
+# Inside the lane-packed auto window (models/embedder.py
+# PACKED_GATHER_MIN_N..MAX_N) the engine gathers from the (n/G, G*d)
+# packed source; the measured composed rate is ~3.3 ns/row at 1M
+# (packed_gather_r5b.log) — the floor for in-window tiers.
+PACKED_WINDOW = (250_000, 2_500_000)
+PACKED_NS_PER_ROW = 3.3
 
 
 def gather_ns_per_row(source_rows):
@@ -80,7 +86,7 @@ def gather_ns_per_row(source_rows):
 # — round-4 slot-major-default re-measures; the r3 row-major values the
 # original accounting ran against are kept in BASELINE.md's table.
 MEASURED = {
-    "1m":   dict(s_iter=0.0578,  src="BASELINE.md 1M tier r4 slot (69.15M e/s)"),
+    "1m":   dict(s_iter=0.03392, src="r5 packed A/B + bench.py (117.97M e/s)"),
     "10m":  dict(s_iter=0.683,   src="BASELINE.md 10M tier r4 slot (51.22M e/s)"),
     "30m":  dict(s_iter=1.882,   src="bench_30m_binned_r4.log (51.01M e/s)"),
     "100m": dict(s_iter=2.5979,  src="bench_100m_r3.log (44.27M e/s)"),
@@ -175,7 +181,10 @@ def main():
         build_s = time.perf_counter() - t0
 
         m = MEASURED[tier]
-        ns_row = gather_ns_per_row(n)  # source = the (n, d) positions
+        if PACKED_WINDOW[0] <= n < PACKED_WINDOW[1]:
+            ns_row = PACKED_NS_PER_ROW  # lane-packed window
+        else:
+            ns_row = gather_ns_per_row(n)  # source = (n, d) positions
         gather_s = slots * ns_row * 1e-9
         stream_s = ref_slots * REF_BYTES / 819e9
         floor_s = gather_s + stream_s
