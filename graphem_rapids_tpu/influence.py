@@ -107,14 +107,25 @@ def estimated_influence(G, seeds, p=0.1, iterations_count=200, num_sims=64,
     return float(np.mean(counts))
 
 
-@partial(jax.jit, static_argnames=("n", "num_sims", "max_iters"))
-def _batched_marginal(src, dst, base_mask, p, key, n, num_sims, max_iters):
-    """Evaluate IC spread for base_mask + each of the n candidate nodes.
+# Candidate-sweep dispatch bound: one greedy round is evaluated in
+# host-level chunks of this many candidates so no single device dispatch
+# runs for minutes (a full 10K-candidate sweep in ONE dispatch measured
+# MINUTES on TPU and reproducibly crashed the remote worker — the
+# watchdog restarts it; chunking keeps each dispatch seconds-long and
+# one compile serves every chunk/round).
+GREEDY_CAND_CHUNK = 1024
 
-    Always a fixed (n,) candidate sweep (already-selected seeds are masked
-    out by the caller), so the jitted shape never changes across greedy
-    rounds — one compilation for the whole selection.
+
+@partial(jax.jit, static_argnames=("num_sims", "max_iters"))
+def _batched_marginal(src, dst, base_mask, p, key, cand_ids, num_sims,
+                      max_iters):
+    """Evaluate IC spread for base_mask + each candidate in cand_ids.
+
+    The (C,) candidate chunk shape is fixed across greedy rounds (the
+    caller pads the tail chunk), so one compilation serves the whole
+    selection.
     """
+    n = base_mask.shape[0]
 
     def one(args):
         cand, key = args
@@ -125,11 +136,10 @@ def _batched_marginal(src, dst, base_mask, p, key, n, num_sims, max_iters):
             )
         )
 
-    cand_ids = jnp.arange(n, dtype=jnp.int32)
-    keys = jax.random.split(key, n)
+    keys = jax.random.split(key, cand_ids.shape[0])
     gains = jax.lax.map(one, (cand_ids, keys))
     # a node already in the seed set adds nothing; force it out of argmax
-    return jnp.where(base_mask, -jnp.inf, gains)
+    return jnp.where(base_mask[cand_ids], -jnp.inf, gains)
 
 
 def greedy_seed_selection(G, k, p=0.1, iterations_count=200, num_sims=32,
@@ -151,15 +161,25 @@ def greedy_seed_selection(G, k, p=0.1, iterations_count=200, num_sims=32,
     seeds = []
     total_evals = 0
     base_mask = jnp.zeros(n, bool)
+    C = min(GREEDY_CAND_CHUNK, n)
+    # fixed-shape candidate chunks; the tail is padded with candidate 0
+    # (its duplicate gain is harmless — argmax sees id 0's real gain)
+    n_pad = -(-n // C) * C
+    cand_all = np.zeros(n_pad, np.int32)
+    cand_all[:n] = np.arange(n, dtype=np.int32)
     for _ in range(k):
         key, sub = jax.random.split(key)
-        gains = np.asarray(
-            _batched_marginal(
-                src, dst, base_mask, float(p), sub,
-                int(n), int(num_sims), int(iterations_count),
+        gains = np.full(n_pad, -np.inf, np.float32)
+        for c0 in range(0, n_pad, C):
+            sub, subc = jax.random.split(sub)
+            gains[c0:c0 + C] = np.asarray(
+                _batched_marginal(
+                    src, dst, base_mask, float(p), subc,
+                    jnp.asarray(cand_all[c0:c0 + C]),
+                    int(num_sims), int(iterations_count),
+                )
             )
-        )
-        best = int(np.argmax(gains))
+        best = int(np.argmax(gains[:n]))
         seeds.append(best)
         base_mask = base_mask.at[best].set(True)
         total_evals += (n - len(seeds) + 1) * num_sims
