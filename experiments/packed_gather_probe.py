@@ -87,6 +87,27 @@ def make_packed_tala(G):
     return f
 
 
+def make_packed_d4(G):
+    """d padded 3->4 inside the packed row so the one-hot reduce walks a
+    power-of-2 stride (the stride-3 middle-axis reduce is suspected as
+    the select-overhead culprit); output slices back to (R, 3)."""
+    def f(pos, idx):
+        n = pos.shape[0]
+        pos4 = jnp.concatenate(
+            [pos, jnp.zeros((n, 1), pos.dtype)], axis=1
+        )
+        packed = pos4.reshape(n // G, G * 4)
+        R = idx.shape[0]
+        rows = packed[idx // G].reshape(R, G, 4)
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, G), 1)
+            == (idx % G)[:, None]
+        )
+        return (rows * oh[..., None].astype(rows.dtype)).sum(axis=1)[:, :3]
+
+    return f
+
+
 def make_packed_transposed(G):
     """Transposed source (D, n/G, G): the one-hot reduce runs over the
     CONTIGUOUS minor (lane) axis instead of a stride-D walk. Output is
@@ -163,6 +184,8 @@ def main():
                    make_packed_gather(G), packed, idx_g, reps)
             timeit(f"packed G={G} (reshape in-program)",
                    make_packed_from_flat(G), pos[:m * G], idx_g, reps)
+            timeit(f"packed G={G} d4-aligned",
+                   make_packed_d4(G), pos[:m * G], idx_g, reps)
             if not args.alt_selects:
                 continue
             # alternative selects — both measured far SLOWER at 1M

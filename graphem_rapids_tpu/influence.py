@@ -142,22 +142,108 @@ def _batched_marginal(src, dst, base_mask, p, key, cand_ids, num_sims,
     return jnp.where(base_mask[cand_ids], -jnp.inf, gains)
 
 
+@partial(jax.jit, static_argnames=("num_sims", "max_iters"))
+def _marginal_chunk_table(table, ov_dst, ov_src, base_mask, p, key,
+                          cand_ids, num_sims, max_iters):
+    """Marginal spreads for a candidate chunk on the GATHER simulator.
+
+    C candidates x num_sims Monte-Carlo runs fold into ONE (n, C*s)
+    cascade batch — the batch rides the gather's row width, so the
+    whole chunk costs about one cascade's gather traffic
+    (ops/ic_sim.py gather-formulation note)."""
+    from .ops.ic_sim import _ic_run_table
+
+    n = base_mask.shape[0]
+    C = cand_ids.shape[0]
+    seed = jnp.broadcast_to(base_mask[:, None], (n, C))
+    seed = seed.at[cand_ids, jnp.arange(C)].set(True)
+    seed = jnp.repeat(seed, num_sims, axis=1)            # (n, C*s)
+    counts = _ic_run_table(
+        table, ov_dst, ov_src, seed, p, key, C * num_sims, max_iters
+    )
+    gains = counts.reshape(C, num_sims).mean(axis=1)
+    return jnp.where(base_mask[cand_ids], -jnp.inf, gains)
+
+
 def greedy_seed_selection(G, k, p=0.1, iterations_count=200, num_sims=32,
                           seed=0):
     """Greedy marginal-gain seed selection (reference influence.py:87-128).
 
-    Each greedy round evaluates every remaining candidate's marginal spread
-    with the batched JAX simulator (lax.map over candidates on device) —
-    the O(k * n) simulation sweep the reference runs in pure Python.
+    The O(k * n) candidate sweep the reference runs in pure Python is
+    evaluated on device: candidates x Monte-Carlo runs fold into one
+    (n, C*s) batched cascade per chunk on the GATHER IC simulator
+    (ops/ic_sim.py), and rounds after the first use batched CELF lazy
+    re-evaluation (marginal gains are submodular upper bounds, so only
+    the top of the stale ranking needs re-simulation — the standard
+    Leskovec et al. optimization, chunk-batched for the device).
 
     Returns (seeds list, total simulated cascades).
     """
+    from .ops.ic_sim import build_cascade_plan
+
     edges, n = _as_edges_and_n(G)
     edges = np.asarray(edges, np.int32)
+    key = jax.random.PRNGKey(seed)
+    plan = build_cascade_plan(edges, n)
+    if plan is None:
+        return _greedy_scatter(
+            edges, n, k, p, iterations_count, num_sims, key
+        )
+
+    cap = plan["table"].shape[1]
+    # chunk size bounded by the (n, cap, C*s) bool gather working set
+    C = int(max(1, min(
+        64, n, (1 << 31) // max(n * cap * num_sims, 1)
+    )))
+    n_pad = -(-n // C) * C
+    cand_all = np.zeros(n_pad, np.int32)
+    cand_all[:n] = np.arange(n, dtype=np.int32)
+
+    def eval_chunk(cands_np, base_mask, sub):
+        return np.asarray(_marginal_chunk_table(
+            plan["table"], plan["ov_dst"], plan["ov_src"], base_mask,
+            float(p), sub, jnp.asarray(cands_np),
+            int(num_sims), int(iterations_count),
+        ))
+
+    seeds = []
+    total_evals = 0
+    base_mask = jnp.zeros(n, bool)
+    gains = np.full(n_pad, -np.inf, np.float32)
+    key, sub = jax.random.split(key)
+    for c0 in range(0, n_pad, C):
+        sub, subc = jax.random.split(sub)
+        gains[c0:c0 + C] = eval_chunk(cand_all[c0:c0 + C], base_mask, subc)
+    gains = gains[:n]
+    total_evals += n * num_sims
+    fresh = np.ones(n, bool)
+
+    while len(seeds) < k:
+        order = np.argsort(-gains)
+        top = int(order[0])
+        if fresh[top]:
+            seeds.append(top)
+            base_mask = base_mask.at[top].set(True)
+            gains[top] = -np.inf
+            fresh[:] = False
+            continue
+        # batched CELF: re-evaluate the C highest stale candidates
+        stale_top = order[~fresh[order]][:C]
+        batch = np.zeros(C, np.int32)
+        batch[:len(stale_top)] = stale_top
+        key, sub = jax.random.split(key)
+        vals = eval_chunk(batch, base_mask, sub)
+        gains[stale_top] = vals[:len(stale_top)]
+        fresh[stale_top] = True
+        total_evals += len(stale_top) * num_sims
+    return seeds, total_evals
+
+
+def _greedy_scatter(edges, n, k, p, iterations_count, num_sims, key):
+    """Fallback full-sweep greedy on the scatter simulator (graphs whose
+    in-neighbor table exceeds the gather budget)."""
     src = jnp.asarray(np.concatenate([edges[:, 0], edges[:, 1]]))
     dst = jnp.asarray(np.concatenate([edges[:, 1], edges[:, 0]]))
-    key = jax.random.PRNGKey(seed)
-
     seeds = []
     total_evals = 0
     base_mask = jnp.zeros(n, bool)
