@@ -40,11 +40,13 @@ Configs (>= 5, per VERDICT r3 #3; 7-9 added per VERDICT r4 #5):
      virtual CPU mesh (exact local path) — the multi-chip step math
   9. same graph, sharded with the forced TPU-mesh shape (fused midpoint
      refs + binfold local top-k, interpret mode on CPU)
+  10. SBM n=300K, d=3, 12 iters    — INSIDE the r5 lane-packed auto
+      window, gating the packed default path (skipped with --quick)
 Configs 8-9 run in a CPU-forced subprocess (the virtual mesh needs
 xla_force_host_platform_device_count before jax initializes; the parent
-process owns the real TPU for configs 1-7).
+process owns the real TPU for the others).
 
-Usage: python scripts/spearman_vs_reference.py [--quick]
+Usage: python scripts/spearman_vs_reference.py [--quick|--config10-only]
 """
 
 import os
@@ -226,17 +228,69 @@ def run_sharded_subprocess(variant):
     return float(m.group(1)), float(m.group(2))
 
 
+def _append_config10(rows, force, RefCls, gr):
+    """config10: a graph INSIDE the lane-packed auto window [250K, 2.5M)
+    so the r5 packed default path is itself reference-gated (the packed
+    select is value-identical by construction; this pins the whole
+    composed step)."""
+    adj = gr.generate_sbm(
+        n_per_block=75_000, num_blocks=4, p_in=0.0001,
+        p_out=0.00001, seed=17,
+    )
+
+    def make_packed_engine(adj, n_components, force):
+        emb = gr.GraphEmbedderTPU(
+            adj, n_components=n_components, seed=0, verbose=False,
+            **force,
+        )
+        if emb._ref_order_platform() == "tpu":
+            assert emb._packed_gather_active, (
+                "config10 expects the packed window engaged"
+            )
+        return emb
+
+    rows.append((
+        "config10 SBM n=300K, d=3, 12 iters (PACKED window)",
+        *run_config("config 10: SBM n=300K packed", adj, 12, force,
+                    RefCls, gr, make_engine=make_packed_engine),
+    ))
+
+
+def _report(rows):
+    print("\n| config | Spearman(radius_ref, radius_tpu) | rel. drift |",
+          flush=True)
+    print("|---|---|---|", flush=True)
+    ok = True
+    for name, rho, drift in rows:
+        flag = "" if rho >= BAR else "  **UNDER BAR**"
+        ok &= rho >= BAR
+        print(f"| {name} | {rho:.4f}{flag} | {drift:.2e} |", flush=True)
+    if not ok:
+        print(f"\nFAIL: at least one config under the {BAR} bar",
+              flush=True)
+        sys.exit(1)
+    print(f"\nPASS: all {len(rows)} configs >= {BAR}", flush=True)
+
+
 def main():
     if "--_sharded-child" in sys.argv:
         sharded_child(sys.argv[sys.argv.index("--_sharded-child") + 1])
         return
     quick = "--quick" in sys.argv
+    # --config10-only: run just the packed-window config (a fast way to
+    # gate a packed-path change without the full 25-minute matrix)
+    only10 = "--config10-only" in sys.argv
     RefCls = load_reference()
     import graphem_rapids_tpu as gr
 
     force = dict(L_min=10.0, k_attr=0.5, k_inter=0.1, n_neighbors=15,
                  sample_size=512)
     rows = []
+
+    if only10:
+        _append_config10(rows, force, RefCls, gr)
+        _report(rows)
+        return
 
     adj = gr.erdos_renyi_graph(n=1000, p=0.01, seed=7)
     rows.append(("config1 ER n=1000 p=0.01, d=3, 50 iters",
@@ -278,6 +332,9 @@ def main():
                  *run_config("config 7: ER n=1500 d=4", adj, 50, force,
                              RefCls, gr, n_components=4)))
 
+    if not quick:
+        _append_config10(rows, force, RefCls, gr)
+
     print("\n[configs 8-9: sharded engine, 8-device virtual CPU mesh "
           "(subprocess)]", flush=True)
     rows.append(("config8 ER n=1000, d=3, 30 iters, SHARDED 8-dev mesh "
@@ -286,19 +343,7 @@ def main():
                  "(fused refs + binfold local, TPU-mesh shape)",
                  *run_sharded_subprocess("tpu_shape")))
 
-    print("\n| config | Spearman(radius_ref, radius_tpu) | rel. drift |",
-          flush=True)
-    print("|---|---|---|", flush=True)
-    ok = True
-    for name, rho, drift in rows:
-        flag = "" if rho >= BAR else "  **UNDER BAR**"
-        ok &= rho >= BAR
-        print(f"| {name} | {rho:.4f}{flag} | {drift:.2e} |", flush=True)
-    if not ok:
-        print(f"\nFAIL: at least one config under the {BAR} bar",
-              flush=True)
-        sys.exit(1)
-    print(f"\nPASS: all {len(rows)} configs >= {BAR}", flush=True)
+    _report(rows)
 
 
 if __name__ == "__main__":
